@@ -1,0 +1,255 @@
+"""Log-mel filterbank front-end as a pure, jittable JAX function.
+
+TPU-first re-design of the reference mel featurizer
+(reference: NeMo parts/preprocessing/features.py:229-460 `FilterbankFeatures`
+and audio_preprocessing.py:101 `AudioToMelSpectrogramPreprocessor`), preserving
+its observable semantics:
+
+  wav -> [train-only dither] -> preemphasis(0.97)
+      -> STFT(n_fft, win_length window centered in the frame, hop, hann,
+              center=True reflect padding)
+      -> |.|^mag_power -> mel filterbank (slaney scale + slaney norm,
+              librosa-compatible, built in numpy at trace time)
+      -> log(x + 2^-24) -> per-feature masked mean/std normalization
+      -> zero-fill beyond seq_len, pad frames to a multiple of ``pad_to``
+
+  seq_len = floor((num_samples + 2*(n_fft//2) - n_fft) / hop) + 1
+          (features.py:391-394 `get_seq_len`, center=True branch)
+
+Differences by design (documented, not accidental):
+  * framing/FFT are expressed as one batched gather + rfft so XLA fuses and
+    tiles them for the MXU/VPU (no cuFFT-style stateful module);
+  * everything is shape-static: the caller supplies padded [B, S] audio and
+    true lengths, so jit never recompiles per utterance;
+  * dither uses an explicit PRNG key instead of global RNG state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    sample_rate: int = 16000
+    win_length: int = 400          # 25 ms  (model config window_size 0.025)
+    hop_length: int = 160          # 10 ms
+    n_fft: int = 512
+    n_mels: int = 80
+    lowfreq: float = 0.0
+    highfreq: float | None = None  # None -> sample_rate / 2
+    preemph: float | None = 0.97
+    dither: float = 1e-5
+    log_zero_guard: float = 2.0 ** -24
+    mag_power: float = 2.0
+    normalize: str = "per_feature"  # "per_feature" | "all_features" | "none"
+    pad_to: int = 16
+    pad_value: float = 0.0
+    std_floor: float = 1e-5
+
+
+# --------------------------------------------------------------------------
+# mel filterbank (numpy, trace-time constant)
+# --------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(f):
+    """Slaney mel scale: linear below 1 kHz, logarithmic above."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        f >= min_log_hz,
+        min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+        f / f_sp,
+    )
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        m >= min_log_mel,
+        min_log_hz * np.exp(logstep * (m - min_log_mel)),
+        f_sp * m,
+    )
+
+
+def mel_filterbank(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    norm: str = "slaney",
+) -> np.ndarray:
+    """[n_mels, n_fft//2 + 1] triangular filterbank, librosa-compatible
+    (slaney mel scale + slaney area norm — the reference builds this via
+    librosa.filters.mel, features.py:325-331)."""
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_fft // 2 + 1)
+    mel_pts = np.linspace(
+        _hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2
+    )
+    hz_pts = _mel_to_hz_slaney(mel_pts)  # [n_mels + 2]
+
+    fdiff = np.diff(hz_pts)                        # [n_mels + 1]
+    ramps = hz_pts[:, None] - fft_freqs[None, :]   # [n_mels + 2, n_bins]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    fb = np.maximum(0.0, np.minimum(lower, upper))  # [n_mels, n_bins]
+
+    if norm == "slaney":
+        enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+        fb *= enorm[:, None]
+    elif norm not in (None, "none"):
+        raise ValueError(f"unsupported mel norm: {norm}")
+    return fb.astype(np.float32)
+
+
+def hann_window(win_length: int, periodic: bool = False) -> np.ndarray:
+    """Hann window. periodic=False matches torch.hann_window(periodic=False)
+    which the reference uses (features.py:305-308)."""
+    if win_length == 1:
+        return np.ones(1, dtype=np.float32)
+    n = np.arange(win_length, dtype=np.float64)
+    denom = win_length if periodic else win_length - 1
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / denom))).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# jittable pipeline
+# --------------------------------------------------------------------------
+
+def output_seq_len(num_samples, cfg: FrontendConfig):
+    """Frame count for center=True STFT (features.py:391-394)."""
+    pad_amount = 2 * (cfg.n_fft // 2)
+    return (num_samples + pad_amount - cfg.n_fft) // cfg.hop_length + 1
+
+
+def _stft_magsq(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """[B, S] -> power spectrogram [B, n_bins, T] with center=True reflect
+    padding and a win_length window zero-centered inside the n_fft frame
+    (torch.stft semantics)."""
+    pad = cfg.n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (x.shape[1] - cfg.n_fft) // cfg.hop_length + 1
+
+    # window of win_length centered in the n_fft frame
+    win = hann_window(cfg.win_length, periodic=False)
+    left = (cfg.n_fft - cfg.win_length) // 2
+    full_win = np.zeros(cfg.n_fft, dtype=np.float32)
+    full_win[left : left + cfg.win_length] = win
+    full_win = jnp.asarray(full_win)
+
+    # batched overlapping frames: one gather, fused with the windowing
+    frame_idx = (
+        np.arange(n_frames)[:, None] * cfg.hop_length + np.arange(cfg.n_fft)
+    )  # [T, n_fft] (static)
+    frames = x[:, frame_idx] * full_win  # [B, T, n_fft]
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)  # [B, T, n_bins]
+    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if cfg.mag_power != 2.0:
+        mag2 = jnp.power(jnp.sqrt(jnp.maximum(mag2, 0.0)), cfg.mag_power)
+    return jnp.transpose(mag2, (0, 2, 1))  # [B, n_bins, T]
+
+
+def _normalize_per_feature(x, seq_len, cfg: FrontendConfig):
+    """Masked per-(sample, mel-channel) mean/std over valid frames; unbiased
+    std (torch default) + 1e-5 floor (features.py:59-76 normalize_batch)."""
+    T = x.shape[-1]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1, T), 2)
+        < seq_len[:, None, None]
+    )
+    n = jnp.maximum(seq_len.astype(x.dtype), 1.0)[:, None, None]
+    xm = jnp.where(valid, x, 0.0)
+    mean = jnp.sum(xm, axis=-1, keepdims=True) / n
+    var = jnp.sum(jnp.where(valid, (x - mean) ** 2, 0.0), axis=-1, keepdims=True)
+    std = jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0)) + cfg.std_floor
+    return (x - mean) / std
+
+
+def _normalize_all_features(x, seq_len, cfg: FrontendConfig):
+    T = x.shape[-1]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1, T), 2)
+        < seq_len[:, None, None]
+    )
+    n = jnp.maximum(seq_len.astype(x.dtype), 1.0)[:, None, None] * x.shape[1]
+    xm = jnp.where(valid, x, 0.0)
+    mean = jnp.sum(xm, axis=(1, 2), keepdims=True) / n
+    var = jnp.sum(
+        jnp.where(valid, (x - mean) ** 2, 0.0), axis=(1, 2), keepdims=True
+    )
+    std = jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0)) + cfg.std_floor
+    return (x - mean) / std
+
+
+def log_mel_spectrogram(
+    signal: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FrontendConfig,
+    *,
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S] float audio + [B] sample counts -> ([B, n_mels, T'], [B] T lens).
+
+    Matches reference FilterbankFeatures.forward (features.py:400-460):
+    dither is train-only; preemphasis keeps the first sample; padding frames
+    beyond seq_len are zero-filled and T' is rounded up to ``pad_to``.
+    """
+    x = signal.astype(jnp.float32)
+    seq_len = output_seq_len(lengths, cfg).astype(jnp.int32)
+
+    if training and cfg.dither > 0 and rng is not None:
+        x = x + cfg.dither * jax.random.normal(rng, x.shape, x.dtype)
+
+    if cfg.preemph is not None:
+        x = jnp.concatenate(
+            [x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]], axis=1
+        )
+
+    spec = _stft_magsq(x, cfg)  # [B, n_bins, T]
+
+    fb = jnp.asarray(
+        mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.lowfreq, cfg.highfreq
+        )
+    )
+    mel = jnp.einsum(
+        "mf,bft->bmt", fb, spec, preferred_element_type=jnp.float32
+    )
+    mel = jnp.log(mel + cfg.log_zero_guard)
+
+    if cfg.normalize == "per_feature":
+        mel = _normalize_per_feature(mel, seq_len, cfg)
+    elif cfg.normalize == "all_features":
+        mel = _normalize_all_features(mel, seq_len, cfg)
+
+    # zero-fill beyond seq_len
+    T = mel.shape[-1]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (mel.shape[0], 1, T), 2)
+        < seq_len[:, None, None]
+    )
+    mel = jnp.where(valid, mel, cfg.pad_value)
+
+    if cfg.pad_to > 0 and T % cfg.pad_to != 0:
+        mel = jnp.pad(
+            mel,
+            ((0, 0), (0, 0), (0, cfg.pad_to - T % cfg.pad_to)),
+            constant_values=cfg.pad_value,
+        )
+    return mel, seq_len
