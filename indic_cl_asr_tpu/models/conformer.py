@@ -1,0 +1,326 @@
+"""Conformer encoder — TPU-first Flax implementation.
+
+Functional re-design of the reference encoder stack
+(reference: NeMo modules/conformer_encoder.py:55 `ConformerEncoder`,
+parts/submodules/conformer_modules.py:36-413 `ConformerLayer`/
+`ConformerConvolution`/`ConformerFeedForward`,
+parts/submodules/multi_head_attention.py:157-251
+`RelPositionMultiHeadAttention`, :935-980 `RelPositionalEncoding`,
+parts/submodules/subsampling.py:62-380 `ConvSubsampling` 'striding').
+
+Semantics preserved:
+  * striding ConvSubsampling: `subsampling_num` rounds of
+    Conv2D(k=3, s=2, pad=1) + ReLU over (time, mel) then a dense to d_model;
+    output length per round: floor((len + 2 - 3) / 2) + 1
+    (subsampling.py:566-576 `calc_length`, ceil_mode=False);
+  * Transformer-XL rel-pos attention: scores = (q+u)·kᵀ + rel_shift((q+v)·pᵀ)
+    all scaled by 1/sqrt(d_head); sin/cos encodings over positions
+    [L-1 .. -(L-1)], input scaled by sqrt(d_model) when xscale;
+  * layer order: ½FFN → MHSA → conv(GLU, depthwise k, norm, swish) → ½FFN
+    → LayerNorm, residuals throughout;
+  * `frozen_till`: layers below the threshold run without gradient flow
+    (reference `encoder_frozen_till`, conformer_encoder.py:447,576-578) —
+    here a single `stop_gradient` cut after the last frozen layer, which is
+    both exact and cheaper (backward never enters the frozen prefix);
+  * BatchNorm in the conv module computes batch statistics over the global
+    (B, T) view — under GSPMD/pjit this is cross-replica-synced by
+    construction, matching `SyncBatchNorm.convert_sync_batchnorm`
+    (cl_baseline.py:133) with zero extra code.
+
+TPU-first choices: all shapes static; padding handled by masks; compute
+dtype configurable (bfloat16 for MXU throughput) with fp32 params and fp32
+softmax/normalization accumulations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    feat_in: int = 80
+    n_layers: int = 17
+    d_model: int = 512
+    n_heads: int = 8
+    ff_expansion_factor: int = 4
+    conv_kernel_size: int = 31
+    conv_norm_type: str = "batch_norm"  # or "layer_norm" / "group_norm<N>"
+    subsampling_factor: int = 4
+    subsampling_conv_channels: int = -1  # -1 -> d_model
+    dropout: float = 0.1
+    dropout_pre_encoder: float = 0.1
+    dropout_emb: float = 0.0
+    dropout_att: float = 0.1
+    xscale: bool = True
+    pos_emb_max_len: int = 5000
+    frozen_till: int = 0  # layers [0, frozen_till) carry no gradient
+    dtype: Any = jnp.float32  # compute dtype
+
+    @property
+    def d_ff(self) -> int:
+        return self.d_model * self.ff_expansion_factor
+
+    @property
+    def conv_channels(self) -> int:
+        return (
+            self.d_model
+            if self.subsampling_conv_channels == -1
+            else self.subsampling_conv_channels
+        )
+
+    @property
+    def sampling_num(self) -> int:
+        return int(math.log2(self.subsampling_factor))
+
+
+def subsampled_length(lengths, cfg: ConformerConfig):
+    """calc_length with kernel 3, stride 2, pad 1+1, floor — per conv round."""
+    out = lengths
+    for _ in range(cfg.sampling_num):
+        out = (out + 2 - 3) // 2 + 1
+    return out
+
+
+def subsampled_feat_dim(cfg: ConformerConfig) -> int:
+    f = cfg.feat_in
+    for _ in range(cfg.sampling_num):
+        f = (f + 2 - 3) // 2 + 1
+    return f
+
+
+class ConvSubsampling(nn.Module):
+    """'striding' subsampling: Conv2D(k3, s2, p1)+ReLU per round, then dense."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, T, F] -> [B, T/4, d_model]
+        cfg = self.cfg
+        h = x[..., None].astype(cfg.dtype)  # [B, T, F, C=1]
+        for i in range(cfg.sampling_num):
+            h = nn.Conv(
+                features=cfg.conv_channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dtype=cfg.dtype,
+                name=f"conv_{i}",
+            )(h)
+            h = nn.relu(h)
+        B, T4, F4, C = h.shape
+        h = h.reshape(B, T4, F4 * C)
+        # NeMo flattens channel-major: (C, F) -> C*F; keep our own layout and
+        # permute in the checkpoint converter instead.
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="out")(h)
+
+
+def rel_positional_encoding(length: int, d_model: int) -> np.ndarray:
+    """[2L-1, d] sin/cos over positions L-1 .. -(L-1)
+    (multi_head_attention.py:894-907, 946-954)."""
+    positions = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64)
+        * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((2 * length - 1, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(positions * div_term)
+    pe[:, 1::2] = np.cos(positions * div_term)
+    return pe.astype(np.float32)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] -> [B, H, T, T]: out[t, j] = in[t, (T-1) + (j - t)]
+    via the XL pad/reshape trick (multi_head_attention.py:184-195)."""
+    b, h, t, p = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, p + 1, t)
+    x = x[:, :, 1:, :].reshape(b, h, t, p)
+    return x[:, :, :, :t]
+
+
+class RelPosSelfAttention(nn.Module):
+    """Transformer-XL style relative-position MHSA."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, att_mask, deterministic: bool):
+        cfg = self.cfg
+        H, D = cfg.n_heads, cfg.d_model // cfg.n_heads
+        B, T, _ = x.shape
+
+        q = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear_q")(x)
+        k = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear_k")(x)
+        v = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear_v")(x)
+        p = nn.Dense(
+            cfg.d_model, use_bias=False, dtype=cfg.dtype, name="linear_pos"
+        )(pos_emb)  # [2T-1, d_model]
+
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, H, D)
+        v = v.reshape(B, T, H, D)
+        p = p.reshape(-1, H, D)
+
+        bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, D))
+        bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, D))
+
+        # content score: (q + u) · k^T   [B, H, T, T]
+        ac = jnp.einsum(
+            "bthd,bshd->bhts", q + bias_u.astype(q.dtype), k,
+            preferred_element_type=jnp.float32,
+        )
+        # position score: rel_shift((q + v) · p^T)   [B, H, T, T]
+        bd = jnp.einsum(
+            "bthd,phd->bhtp", q + bias_v.astype(q.dtype), p,
+            preferred_element_type=jnp.float32,
+        )
+        bd = _rel_shift(bd)
+        scores = (ac + bd) / math.sqrt(D)  # fp32
+
+        if att_mask is not None:
+            scores = jnp.where(att_mask[:, None, :, :], scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if att_mask is not None:
+            # fully-masked (padding) query rows attend to nothing
+            attn = jnp.where(att_mask[:, None, :, :], attn, 0.0)
+        attn = nn.Dropout(cfg.dropout_att)(
+            attn, deterministic=deterministic
+        ).astype(cfg.dtype)
+
+        out = jnp.einsum(
+            "bhts,bshd->bthd", attn, v, preferred_element_type=jnp.float32
+        ).astype(cfg.dtype)
+        out = out.reshape(B, T, cfg.d_model)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear_out")(out)
+
+
+class ConformerConvModule(nn.Module):
+    """pointwise(2d) -> GLU -> mask -> depthwise(k) -> norm -> swish
+    -> pointwise(d) (conformer_modules.py:275-383)."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, train: bool):
+        cfg = self.cfg
+        h = nn.Dense(2 * cfg.d_model, dtype=cfg.dtype, name="pointwise_conv1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU over channel dim
+        if pad_mask is not None:
+            h = jnp.where(pad_mask[:, :, None], h, 0.0)
+        # depthwise conv over time: feature_group_count = channels
+        h = nn.Conv(
+            features=cfg.d_model,
+            kernel_size=(cfg.conv_kernel_size,),
+            padding=((cfg.conv_kernel_size // 2,) * 2,),
+            feature_group_count=cfg.d_model,
+            dtype=cfg.dtype,
+            name="depthwise_conv",
+        )(h)
+        if cfg.conv_norm_type == "batch_norm":
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=cfg.dtype,
+                name="batch_norm",
+            )(h)
+        elif cfg.conv_norm_type == "layer_norm":
+            h = nn.LayerNorm(dtype=cfg.dtype, name="batch_norm")(h)
+        elif cfg.conv_norm_type.startswith("group_norm"):
+            n_groups = int(cfg.conv_norm_type.replace("group_norm", "") or 1)
+            h = nn.GroupNorm(
+                num_groups=n_groups, dtype=cfg.dtype, name="batch_norm"
+            )(h)
+        else:
+            raise ValueError(cfg.conv_norm_type)
+        h = nn.swish(h)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="pointwise_conv2")(h)
+
+
+class FeedForward(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        h = nn.Dense(cfg.d_ff, dtype=cfg.dtype, name="linear1")(x)
+        h = nn.swish(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear2")(h)
+
+
+class ConformerLayer(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, att_mask, pad_mask, train: bool):
+        cfg = self.cfg
+        det = not train
+        drop = nn.Dropout(cfg.dropout)
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm_feed_forward1")(x)
+        h = FeedForward(cfg, name="feed_forward1")(h, det)
+        x = x + 0.5 * drop(h, deterministic=det)
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm_self_att")(x)
+        h = RelPosSelfAttention(cfg, name="self_attn")(h, pos_emb, att_mask, det)
+        x = x + drop(h, deterministic=det)
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm_conv")(x)
+        h = ConformerConvModule(cfg, name="conv")(h, pad_mask, train)
+        x = x + drop(h, deterministic=det)
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm_feed_forward2")(x)
+        h = FeedForward(cfg, name="feed_forward2")(h, det)
+        x = x + 0.5 * drop(h, deterministic=det)
+
+        return nn.LayerNorm(dtype=cfg.dtype, name="norm_out")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """[B, F, T_mel] features + [B] mel lengths -> [B, T_enc, d], [B] lens."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False):
+        cfg = self.cfg
+        x = jnp.transpose(feats, (0, 2, 1))  # [B, T, F]
+        x = ConvSubsampling(cfg, name="pre_encode")(x)
+        out_lens = subsampled_length(feat_lens, cfg).astype(jnp.int32)
+
+        T = x.shape[1]
+        if cfg.xscale:
+            x = x * math.sqrt(cfg.d_model)
+        pos_emb = jnp.asarray(rel_positional_encoding(T, cfg.d_model)).astype(
+            cfg.dtype
+        )
+        x = nn.Dropout(cfg.dropout_pre_encoder)(x, deterministic=not train)
+
+        pad_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], T), 1)
+            < out_lens[:, None]
+        )  # True = valid
+        att_mask = pad_mask[:, :, None] & pad_mask[:, None, :]
+
+        for i in range(cfg.n_layers):
+            x = ConformerLayer(cfg, name=f"layers_{i}")(
+                x, pos_emb, att_mask, pad_mask, train
+            )
+            if cfg.frozen_till > 0 and i == cfg.frozen_till - 1:
+                # single gradient cut below the trainable suffix — exact
+                # equivalent of running the frozen prefix under no_grad
+                x = jax.lax.stop_gradient(x)
+
+        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        return x, out_lens
