@@ -13,7 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not honored when the axon TPU plugin is present —
+# force the CPU platform explicitly so tests never run on the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU platform"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
