@@ -1,0 +1,53 @@
+"""CTC loss wrapper.
+
+The reference wraps torch.nn.CTCLoss (cuDNN kernel) with blank = LAST index,
+`mean_batch` reduction and zero_infinity (reference: NeMo losses/ctc.py:
+25-82). Here the lattice is optax's XLA forward-backward (`optax.ctc_loss`),
+which fuses cleanly into the jitted train step; we add the reference's
+blank-last convention, reduction modes, and zero_infinity guard.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def ctc_loss(
+    log_probs: jnp.ndarray,   # [B, T, V+1] log-probs (or logits), blank LAST
+    frame_lens: jnp.ndarray,  # [B]
+    labels: jnp.ndarray,      # [B, U] local token ids (no blanks)
+    label_lens: jnp.ndarray,  # [B]
+    blank: int | None = None,
+    reduction: str = "mean_batch",
+    zero_infinity: bool = True,
+):
+    B, T, V1 = log_probs.shape
+    if blank is None:
+        blank = V1 - 1
+    t_iota = jnp.arange(T)[None, :]
+    logit_paddings = (t_iota >= frame_lens[:, None]).astype(jnp.float32)
+    u_iota = jnp.arange(labels.shape[1])[None, :]
+    label_paddings = (u_iota >= label_lens[:, None]).astype(jnp.float32)
+
+    nll = optax.ctc_loss(
+        log_probs.astype(jnp.float32),
+        logit_paddings,
+        labels.astype(jnp.int32),
+        label_paddings,
+        blank_id=blank,
+    )
+    if zero_infinity:
+        nll = jnp.where(jnp.isfinite(nll), nll, 0.0)
+
+    if reduction is None or reduction == "none":
+        return nll
+    if reduction == "mean_batch":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean_volume":
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(label_lens), 1)
+    if reduction == "mean":
+        return jnp.mean(nll / jnp.maximum(label_lens, 1))
+    raise ValueError(reduction)

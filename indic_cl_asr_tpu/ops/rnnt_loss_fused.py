@@ -1,0 +1,126 @@
+"""Streaming (chunked) RNNT loss: joint head fused into the loss.
+
+The reference bounds the B x T x U x V joint-lattice memory by slicing the
+batch into `fused_batch_size` sub-batches inside the joint module
+(reference: NeMo modules/rnnt.py:1403-1561) — a GPU workaround that also
+drags WER computation into the training step. The TPU-native replacement:
+
+  * the joint is evaluated in chunks along T; each chunk's [B, Tc, U+1, V+1]
+    logits are immediately reduced to blank/label log-prob slabs and
+    discarded;
+  * `jax.checkpoint` on the chunk function makes backward RE-compute each
+    chunk's logits instead of storing them — peak memory is
+    O(B*T*U) for the lattice inputs plus ONE chunk of logits, for any T;
+  * the lattice DP itself is ops/rnnt_loss.py's associative-scan kernel.
+
+This is exact (same numbers as the materialized path), not an approximation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .rnnt_loss import _reduce, rnnt_nll_from_logprobs
+
+
+def _activate(x, activation: str):
+    if activation == "relu":
+        return jax.nn.relu(x)
+    if activation == "tanh":
+        return jnp.tanh(x)
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(activation)
+
+
+def _chunk_logprob_slabs(
+    f_chunk, g_proj, head_w, head_b, labels_pad, blank, activation,
+    dropout_rate, dropout_key,
+):
+    """[B, Tc, H] -> (lp_blank [B, Tc, U+1], lp_label [B, Tc, U+1])."""
+    inp = _activate(
+        f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
+    )  # [B, Tc, U+1, H]
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(
+            dropout_key, 1.0 - dropout_rate, inp.shape
+        )
+        inp = jnp.where(keep, inp / (1.0 - dropout_rate), 0.0)
+    logits = (
+        jnp.einsum(
+            "btuh,bhv->btuv", inp, head_w,
+            preferred_element_type=jnp.float32,
+        )
+        + head_b[:, None, None, :]
+    )
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    lp_blank = lp[..., blank]
+    lp_label = jnp.take_along_axis(
+        lp, labels_pad[:, None, :, None].astype(jnp.int32), axis=3
+    )[..., 0]
+    return lp_blank, lp_label
+
+
+def rnnt_loss_fused(
+    f_proj: jnp.ndarray,     # [B, T, H] encoder-side joint projection
+    g_proj: jnp.ndarray,     # [B, U+1, H] prediction-side joint projection
+    head_w: jnp.ndarray,     # [B, H, V+1] per-sample language head kernel
+    head_b: jnp.ndarray,     # [B, V+1] per-sample language head bias
+    labels: jnp.ndarray,     # [B, U]
+    frame_lens: jnp.ndarray,
+    label_lens: jnp.ndarray,
+    *,
+    blank: int,
+    activation: str = "relu",
+    reduction: str = "mean_batch",
+    chunk_size: int = 64,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+):
+    B, T, H = f_proj.shape
+    U1 = g_proj.shape[1]
+    labels_pad = jnp.concatenate(
+        [labels, jnp.zeros((B, 1), labels.dtype)], axis=1
+    )
+
+    n_chunks = -(-T // chunk_size)
+    T_pad = n_chunks * chunk_size
+    if T_pad != T:
+        f_proj = jnp.pad(f_proj, ((0, 0), (0, T_pad - T), (0, 0)))
+
+    f_chunks = f_proj.reshape(B, n_chunks, chunk_size, H).swapaxes(0, 1)
+
+    chunk_fn = jax.checkpoint(
+        functools.partial(
+            _chunk_logprob_slabs,
+            blank=blank,
+            activation=activation,
+            dropout_rate=dropout_rate,
+        )
+    )
+
+    def body(i, f_chunk):
+        key = (
+            jax.random.fold_in(dropout_rng, i)
+            if (dropout_rng is not None and dropout_rate > 0.0)
+            else None
+        )
+        return chunk_fn(
+            f_chunk, g_proj, head_w, head_b, labels_pad, dropout_key=key
+        )
+
+    idx = jnp.arange(n_chunks)
+    lpb_chunks, lpl_chunks = jax.lax.map(
+        lambda args: body(*args), (idx, f_chunks)
+    )
+    lp_blank = lpb_chunks.swapaxes(0, 1).reshape(B, T_pad, U1)[:, :T]
+    lp_label = lpl_chunks.swapaxes(0, 1).reshape(B, T_pad, U1)[:, :T]
+
+    nll = rnnt_nll_from_logprobs(
+        lp_blank, lp_label, frame_lens.astype(jnp.int32),
+        label_lens.astype(jnp.int32),
+    )
+    return _reduce(nll, label_lens, reduction)

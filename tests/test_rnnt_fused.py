@@ -1,0 +1,112 @@
+"""Fused/chunked RNNT loss must equal the materialized path exactly
+(values AND gradients) — it is a memory optimization, not an approximation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indic_cl_asr_tpu.ops.rnnt_loss import rnnt_loss
+from indic_cl_asr_tpu.ops.rnnt_loss_fused import rnnt_loss_fused
+
+
+def setup_case(rng, B=2, T=11, U=4, H=8, V1=6):
+    f_proj = rng.standard_normal((B, T, H)).astype(np.float32)
+    g_proj = rng.standard_normal((B, U + 1, H)).astype(np.float32)
+    head_w = rng.standard_normal((B, H, V1)).astype(np.float32) * 0.3
+    head_b = rng.standard_normal((B, V1)).astype(np.float32) * 0.1
+    labels = rng.integers(0, V1 - 1, (B, U)).astype(np.int32)
+    t_lens = np.array([T, T - 4], np.int32)
+    u_lens = np.array([U, U - 2], np.int32)
+    return f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens
+
+
+def materialized(f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens, blank):
+    inp = jax.nn.relu(f_proj[:, :, None, :] + g_proj[:, None, :, :])
+    logits = (
+        jnp.einsum("btuh,bhv->btuv", inp, head_w) + head_b[:, None, None, :]
+    )
+    return rnnt_loss(
+        logits, labels, t_lens, u_lens, blank, reduction="mean_batch"
+    )
+
+
+def test_fused_equals_materialized_values_and_grads(rng):
+    case = setup_case(rng)
+    f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens = map(
+        jnp.asarray, case
+    )
+    blank = head_w.shape[-1] - 1
+
+    def loss_mat(f, g, w, b):
+        return materialized(f, g, w, b, labels, t_lens, u_lens, blank)
+
+    def loss_fused(f, g, w, b):
+        return rnnt_loss_fused(
+            f, g, w, b, labels, t_lens, u_lens,
+            blank=blank, chunk_size=4,
+        )
+
+    v_mat, g_mat = jax.value_and_grad(loss_mat, argnums=(0, 1, 2, 3))(
+        f_proj, g_proj, head_w, head_b
+    )
+    v_fused, g_fused = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        f_proj, g_proj, head_w, head_b
+    )
+    np.testing.assert_allclose(float(v_mat), float(v_fused), rtol=1e-6)
+    for a, b in zip(g_mat, g_fused):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_chunk_size_invariance(rng):
+    case = setup_case(rng, T=13)
+    f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens = map(
+        jnp.asarray, case
+    )
+    t_lens = jnp.array([13, 9])
+    blank = head_w.shape[-1] - 1
+    vals = [
+        float(
+            rnnt_loss_fused(
+                f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens,
+                blank=blank, chunk_size=cs,
+            )
+        )
+        for cs in (1, 3, 13, 64)
+    ]
+    np.testing.assert_allclose(vals, vals[0], rtol=1e-6)
+
+
+def test_fused_under_jit(rng):
+    case = setup_case(rng)
+    args = tuple(map(jnp.asarray, case))
+    blank = args[2].shape[-1] - 1
+    f = jax.jit(
+        lambda *a: rnnt_loss_fused(*a, blank=blank, chunk_size=4)
+    )
+    assert np.isfinite(float(f(*args)))
+
+
+def test_fused_dropout_deterministic_given_key(rng):
+    case = setup_case(rng)
+    args = tuple(map(jnp.asarray, case))
+    blank = args[2].shape[-1] - 1
+    k = jax.random.PRNGKey(7)
+    a = float(
+        rnnt_loss_fused(
+            *args, blank=blank, chunk_size=4, dropout_rate=0.5, dropout_rng=k
+        )
+    )
+    b = float(
+        rnnt_loss_fused(
+            *args, blank=blank, chunk_size=4, dropout_rate=0.5, dropout_rng=k
+        )
+    )
+    c = float(
+        rnnt_loss_fused(
+            *args, blank=blank, chunk_size=4, dropout_rate=0.5,
+            dropout_rng=jax.random.PRNGKey(8),
+        )
+    )
+    assert a == b and a != c
