@@ -41,6 +41,12 @@ class Batch:
     lang_ids: np.ndarray    # [B] int32 index into the language list
     texts: list[str]        # reference transcripts (for WER on host)
     langs: list[str]
+    n_real: int = -1        # rows < n_real are real; the rest are repeats
+                            # padding the final partial batch of a bucket
+
+    def __post_init__(self):
+        if self.n_real < 0:
+            self.n_real = len(self.texts)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +78,7 @@ def shard_for_host(
 
 def _assemble(
     entries: list[ManifestEntry],
+    n_real: int,
     bucket: int,
     spec: BucketSpec,
     tokenizer,
@@ -110,6 +117,7 @@ def _assemble(
         lang_ids=lang_ids,
         texts=[e.text for e in entries],
         langs=[e.lang for e in entries],
+        n_real=n_real,
     )
 
 
@@ -177,13 +185,14 @@ class BatchPipeline:
         for b, items in by_bucket.items():
             for i in range(0, len(items), self.batch_size):
                 chunk = items[i : i + self.batch_size]
-                if len(chunk) < self.batch_size:
+                n_real = len(chunk)
+                if n_real < self.batch_size:
                     if self.drop_last:
                         continue
                     chunk = chunk + [chunk[-1]] * (
-                        self.batch_size - len(chunk)
+                        self.batch_size - n_real
                     )
-                plan.append((b, chunk))
+                plan.append((b, n_real, chunk))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch + 10_000)
             rng.shuffle(plan)
@@ -198,10 +207,10 @@ class BatchPipeline:
 
         def producer():
             try:
-                for b, chunk in plan:
+                for b, n_real, chunk in plan:
                     q.put(
                         _assemble(
-                            chunk, b, self.spec, self.tokenizer,
+                            chunk, n_real, b, self.spec, self.tokenizer,
                             self.lang_index, self.pad_id, self.loader, io_pool,
                         )
                     )

@@ -135,6 +135,23 @@ class HybridRNNTCTC(nn.Module):
     def joint_project(self, f, g):
         return self.joint.project(f, g)
 
+    def joint_project_enc(self, f):
+        return self.joint.project_enc(f)
+
+    def joint_project_pred(self, g):
+        return self.joint.project_pred(g)
+
+    def joint_step(self, f_t, g_t, lang_ids):
+        return self.joint.step_logits(f_t, g_t, lang_ids)
+
+    def pred_step(self, last_label, state):
+        """One prediction-network step for decoding: [B] labels + state ->
+        (projected g [B, H_joint], new state)."""
+        g, new_state = self.prediction(
+            last_label[:, None], add_sos=False, state=state
+        )
+        return self.joint.project_pred(g[:, 0, :]), new_state
+
     def joint_logits(self, f, g, lang_ids, train: bool = False):
         return self.joint(f, g, lang_ids, train=train)
 

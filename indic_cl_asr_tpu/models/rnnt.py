@@ -189,6 +189,27 @@ class RNNTJoint(nn.Module):
         """f: [B, T, He], g: [B, U, Hp] -> projected pair."""
         return self.enc_proj(f), self.pred_proj(g)
 
+    def project_enc(self, f: jnp.ndarray):
+        return self.enc_proj(f)
+
+    def project_pred(self, g: jnp.ndarray):
+        return self.pred_proj(g)
+
+    def step_logits(self, f_t: jnp.ndarray, g_t: jnp.ndarray, lang_ids):
+        """Single decode step: projected f_t [B, H] + projected g_t [B, H]
+        -> [B, V_local + 1] logits (greedy-decoding hot path,
+        reference rnnt_greedy_decoding.py:758-843 `_joint_step`)."""
+        inp = self._activate(f_t + g_t)  # [B, H]
+        w = jnp.take(self.head_kernel, lang_ids, axis=0)  # [B, H, V+1]
+        b = jnp.take(self.head_bias, lang_ids, axis=0)
+        return (
+            jnp.einsum(
+                "bh,bhv->bv", inp, w.astype(inp.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b
+        )
+
     def _activate(self, x):
         act = self.cfg.activation
         if act == "relu":

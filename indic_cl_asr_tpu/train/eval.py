@@ -1,0 +1,187 @@
+"""Transcription + evaluation harness.
+
+Replaces the reference's transcription pipeline and eval loop
+(reference: hybrid_rnnt_ctc_models.py:262-346 `transcribe` /
+:582-675 `_transcribe_forward/_output_processing`; utils.py:120-174
+`compute_wer` / `run_eval`) with jitted batched inference:
+
+  wav batch -> log-mel (dither off at eval, _transcribe_on_begin semantics)
+  -> Conformer encode -> greedy RNNT (lax.scan/while_loop) or greedy CTC
+  -> host detokenization -> aggregate WER.
+
+Metric names match the reference exactly
+(`{val|test}/perf_{lang}_{rnnt|ctc}_{wer|noisy_wer|avg_wer}`,
+utils.py:163-169) so downstream results analysis transfers unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.features import FrontendConfig, log_mel_spectrogram
+from ..data.manifest import ManifestEntry
+from ..data.pipeline import BatchPipeline, BucketSpec
+from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
+from ..ops.decoding import ctc_greedy_decode, rnnt_greedy_decode
+from .metrics import wer
+
+
+@dataclasses.dataclass
+class Transcriber:
+    """Jit-compiled batched transcription for a fixed model architecture.
+
+    Variables are arguments (not captured), so one Transcriber serves every
+    checkpoint/CL task without recompiling.
+    """
+
+    model: HybridRNNTCTC
+    model_cfg: HybridModelConfig
+    tokenizer: object
+    languages: Sequence[str]
+    frontend: FrontendConfig = FrontendConfig()
+    batch_size: int = 16
+    bucket_spec: BucketSpec | None = None
+    max_symbols: int = 10
+    max_out: int = 256
+
+    def __post_init__(self):
+        assert self.frontend.n_mels == self.model_cfg.encoder.feat_in, (
+            "front-end mel bins must match encoder feat_in"
+        )
+        model = self.model
+        fe = self.frontend
+        blank = self.model_cfg.blank_local
+
+        def encode(variables, audio, audio_lens):
+            mel, mel_lens = log_mel_spectrogram(
+                audio, audio_lens, fe, training=False
+            )
+            return model.apply(
+                variables, mel, mel_lens, False, method="encode"
+            )
+
+        def ctc_fn(variables, audio, audio_lens, lang_ids):
+            f, enc_lens = encode(variables, audio, audio_lens)
+            log_probs = model.apply(
+                variables, f, lang_ids, method="ctc_logprobs"
+            )
+            return ctc_greedy_decode(log_probs, enc_lens, blank)
+
+        def rnnt_fn(variables, audio, audio_lens, lang_ids):
+            f, enc_lens = encode(variables, audio, audio_lens)
+            f_proj = model.apply(variables, f, method="joint_project_enc")
+
+            def pred_step(last_label, state):
+                return model.apply(
+                    variables, last_label, state, method="pred_step"
+                )
+
+            def joint_step(f_t, g_t, li):
+                return model.apply(
+                    variables, f_t, g_t, li, method="joint_step"
+                )
+
+            return rnnt_greedy_decode(
+                f_proj, enc_lens, lang_ids, pred_step, joint_step, None,
+                blank=blank, max_symbols=self.max_symbols,
+                max_out=self.max_out,
+            )
+
+        self._ctc_fn = jax.jit(ctc_fn)
+        self._rnnt_fn = jax.jit(rnnt_fn)
+
+    def transcribe(
+        self,
+        variables,
+        entries: Sequence[ManifestEntry],
+        decoder: str = "rnnt",
+    ) -> list[str]:
+        """Entries -> hypothesis strings (original entry order)."""
+        import concurrent.futures as cf
+
+        from ..data.pipeline import _assemble
+
+        assert decoder in ("rnnt", "ctc")
+        spec = self.bucket_spec or BucketSpec()
+        lang_index = {l: i for i, l in enumerate(self.languages)}
+        fn = self._rnnt_fn if decoder == "rnnt" else self._ctc_fn
+
+        by_bucket: dict[int, list[int]] = {}
+        for i, e in enumerate(entries):
+            by_bucket.setdefault(spec.bucket_of(e.duration), []).append(i)
+
+        hyps: list[str] = [""] * len(entries)
+        from ..audio.io import load_audio
+
+        with cf.ThreadPoolExecutor(8) as io_pool:
+            for bucket, idxs in by_bucket.items():
+                for i0 in range(0, len(idxs), self.batch_size):
+                    chunk_idx = idxs[i0 : i0 + self.batch_size]
+                    n_real = len(chunk_idx)
+                    padded = chunk_idx + [chunk_idx[-1]] * (
+                        self.batch_size - n_real
+                    )
+                    batch = _assemble(
+                        [entries[j] for j in padded], n_real, bucket, spec,
+                        self.tokenizer, lang_index, 0, load_audio, io_pool,
+                    )
+                    ids, lens = fn(
+                        variables,
+                        jnp.asarray(batch.audio),
+                        jnp.asarray(batch.audio_len),
+                        jnp.asarray(batch.lang_ids),
+                    )
+                    ids = np.asarray(ids)
+                    lens = np.asarray(lens)
+                    for row in range(n_real):
+                        toks = ids[row, : lens[row]].tolist()
+                        hyps[chunk_idx[row]] = self.tokenizer.ids_to_text(
+                            toks, batch.langs[row]
+                        )
+        return hyps
+
+    def compute_wer(
+        self,
+        variables,
+        entries: Sequence[ManifestEntry],
+        decoder: str = "rnnt",
+    ) -> float:
+        hyps = self.transcribe(variables, entries, decoder)
+        refs = [e.text for e in entries]
+        return wer(refs, hyps)
+
+
+def run_eval(
+    logger,
+    type_: str,
+    transcriber: Transcriber,
+    variables,
+    clean_entries: Sequence[ManifestEntry],
+    noisy_entries: Sequence[ManifestEntry],
+    epoch: int,
+    curr_lang_idx: int,
+    lang: str,
+) -> dict:
+    """Per-(split, lang) eval over both decoders — reference
+    utils.py:151-174 `run_eval`, identical metric keys."""
+    perf = {}
+    log_dict = {}
+    for mode in ("rnnt", "ctc"):
+        val = transcriber.compute_wer(variables, clean_entries, mode)
+        noisy = transcriber.compute_wer(variables, noisy_entries, mode)
+        perf[f"{mode}_wer"] = val
+        perf[f"{mode}_noisy_wer"] = noisy
+        perf[f"{mode}_avg_wer"] = (val + noisy) / 2
+        log_dict[f"{type_}/perf_{lang}_{mode}_wer"] = val
+        log_dict[f"{type_}/perf_{lang}_{mode}_noisy_wer"] = noisy
+        log_dict[f"{type_}/perf_{lang}_{mode}_avg_wer"] = perf[f"{mode}_avg_wer"]
+    log_dict["epoch"] = epoch
+    log_dict["lang"] = curr_lang_idx
+    if logger is not None:
+        logger.log(log_dict)
+    return perf

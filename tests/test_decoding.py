@@ -1,0 +1,158 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
+from indic_cl_asr_tpu.ops.decoding import ctc_greedy_decode, rnnt_greedy_decode
+from indic_cl_asr_tpu.train.metrics import (
+    bwt_scores,
+    compute_bwt_curves,
+    compute_perf_matrix,
+    edit_distance_py,
+    wer,
+)
+
+
+class TestCTCGreedy:
+    def test_collapse_and_deblank(self):
+        blank = 4
+        # sequence: a a _ a b b _ -> a a b
+        row = [0, 0, blank, 0, 1, 1, blank]
+        lp = np.full((1, len(row), 5), -10.0, np.float32)
+        for t, v in enumerate(row):
+            lp[0, t, v] = 0.0
+        ids, lens = ctc_greedy_decode(
+            jnp.asarray(lp), jnp.array([len(row)]), blank
+        )
+        assert int(lens[0]) == 3
+        assert np.asarray(ids)[0, :3].tolist() == [0, 0, 1]
+        assert np.all(np.asarray(ids)[0, 3:] == blank)
+
+    def test_length_masking(self):
+        blank = 2
+        row = [0, 1, 0, 1]
+        lp = np.full((1, 4, 3), -10.0, np.float32)
+        for t, v in enumerate(row):
+            lp[0, t, v] = 0.0
+        ids, lens = ctc_greedy_decode(jnp.asarray(lp), jnp.array([2]), blank)
+        assert int(lens[0]) == 2
+        assert np.asarray(ids)[0, :2].tolist() == [0, 1]
+
+    def test_all_blank(self):
+        lp = np.full((2, 5, 3), -10.0, np.float32)
+        lp[:, :, 2] = 0.0
+        ids, lens = ctc_greedy_decode(jnp.asarray(lp), jnp.array([5, 3]), 2)
+        assert np.asarray(lens).tolist() == [0, 0]
+
+
+def python_greedy_rnnt(f_proj, f_len, lang_id, pred_step, joint_step,
+                       blank, max_symbols):
+    """Slow per-sample oracle with identical semantics."""
+    out = []
+    g, state = pred_step(
+        jnp.full((1,), blank, jnp.int32), None
+    )
+    for t in range(int(f_len)):
+        for _ in range(max_symbols):
+            logits = joint_step(
+                f_proj[None, t], g, jnp.array([lang_id])
+            )
+            pred = int(jnp.argmax(logits[0]))
+            if pred == blank:
+                break
+            out.append(pred)
+            g, state = pred_step(jnp.array([pred], jnp.int32), state)
+    return out
+
+
+@pytest.fixture(scope="module")
+def decode_setup():
+    cfg = tiny_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+
+    def pred_step(last_label, state):
+        return model.apply(variables, last_label, state, method="pred_step")
+
+    def joint_step(f_t, g_t, lang_ids):
+        return model.apply(variables, f_t, g_t, lang_ids, method="joint_step")
+
+    return cfg, model, variables, pred_step, joint_step
+
+
+class TestRNNTGreedy:
+    def test_matches_python_oracle(self, decode_setup, rng):
+        cfg, model, variables, pred_step, joint_step = decode_setup
+        B, T = 3, 12
+        f = jnp.asarray(
+            rng.standard_normal((B, T, cfg.encoder.d_model)) * 2.0, jnp.float32
+        )
+        f_proj = model.apply(variables, f, method="joint_project_enc")
+        f_lens = jnp.array([12, 8, 5])
+        lang_ids = jnp.array([0, 1, 2])
+        blank = cfg.blank_local
+
+        ids, lens = jax.jit(
+            lambda fp: rnnt_greedy_decode(
+                fp, f_lens, lang_ids, pred_step, joint_step, None,
+                blank=blank, max_symbols=4, max_out=64,
+            )
+        )(f_proj)
+
+        for b in range(B):
+            want = python_greedy_rnnt(
+                f_proj[b], f_lens[b], int(lang_ids[b]), pred_step,
+                joint_step, blank, max_symbols=4,
+            )
+            got = np.asarray(ids)[b, : int(lens[b])].tolist()
+            assert got == want, f"sample {b}: {got} != {want}"
+
+    def test_empty_frames_give_empty_output(self, decode_setup):
+        cfg, model, variables, pred_step, joint_step = decode_setup
+        f_proj = jnp.zeros((2, 6, cfg.joint_hidden))
+        ids, lens = rnnt_greedy_decode(
+            f_proj, jnp.array([0, 0]), jnp.array([0, 0]),
+            pred_step, joint_step, None,
+            blank=cfg.blank_local, max_symbols=3, max_out=8,
+        )
+        assert np.asarray(lens).tolist() == [0, 0]
+
+
+class TestMetrics:
+    def test_edit_distance(self):
+        assert edit_distance_py([], []) == 0
+        assert edit_distance_py(list("abc"), list("abc")) == 0
+        assert edit_distance_py(list("kitten"), list("sitting")) == 3
+        assert edit_distance_py(["a", "b"], []) == 2
+
+    def test_wer_aggregate(self):
+        refs = ["the cat sat", "hello world"]
+        hyps = ["the cat sat", "hello word extra"]
+        # 1 sub + 1 ins over 5 ref words
+        assert wer(refs, hyps) == pytest.approx(2 / 5)
+        assert wer([""], ["anything here"]) == 0.0
+
+    def test_perf_matrix_and_bwt(self):
+        val_perf = {
+            "hindi": [{"rnnt_wer": 0.2}, {"rnnt_wer": 0.3}, {"rnnt_wer": 0.4}],
+            "bengali": [{"rnnt_wer": 0.5}, {"rnnt_wer": 0.25}, {"rnnt_wer": 0.35}],
+            "tamil": [{"rnnt_wer": 0.9}, {"rnnt_wer": 0.8}, {"rnnt_wer": 0.3}],
+        }
+        perf, langs = compute_perf_matrix(val_perf)
+        assert perf.shape == (3, 3)
+        assert perf[0, 0] == 0.2 and perf[2, 2] == 0.3
+
+        curves = compute_bwt_curves(val_perf)
+        # hindi trained at task 0: bwt points for tasks 1,2
+        assert curves["hindi"] == [
+            (2, pytest.approx(0.2 - 0.3)),
+            (3, pytest.approx(0.2 - 0.4)),
+        ]
+        assert curves["tamil"] == []  # last task, no later evals
+
+        scores = bwt_scores(perf)
+        assert scores[0] == 0.0
+        # task 1: hindi after its own task (0.2) vs after task 1 (0.3)
+        assert scores[1] == pytest.approx(0.2 - 0.3)
+        # task 2: hindi 0.2 -> 0.4, bengali 0.25 -> 0.35
+        assert scores[2] == pytest.approx(((0.2 - 0.4) + (0.25 - 0.35)) / 2)
