@@ -1,0 +1,116 @@
+"""Learning without Forgetting: per-batch teacher/student distillation.
+
+Reference semantics (cl_baseline_lwf.py:207-265, SURVEY.md §3.5): for every
+batch of task t>0,
+  * the previous task's weights act as a frozen teacher; the reference
+    swaps them in VIA A DISK ROUND-TRIP each batch (:220-234, flagged
+    "extremely slow" in its own README). Here the teacher is simply a
+    second in-memory parameter pytree — pure win, no semantic change;
+  * KD terms (:242-259):
+      ctc_kd  = KL(teacher_ctc || student_ctc)   'batchmean' over B
+      rnnt_kd = KL(teacher_joint || student_joint) 'batchmean', averaged
+                over the fused sub-batches
+  * total (:264):
+      loss = (1 - kd) * task + kd * ((1 - kd_ctx) * rnnt_kd + kd_ctx * ctc_kd)
+
+Documented fix (SURVEY.md §3.5 nuance): the reference's fused joint stores
+RAW logits on GPU yet feeds them to KL as if they were log-probs
+(rnnt.py:1649-1662). We apply log_softmax to both teacher and student joint
+logits before the KL — the mathematically intended objective. Set
+``faithful_raw_logits=True`` to reproduce the reference's raw-logit
+behavior bit-for-bit.
+
+The joint KD is computed chunked over T with remat (never materializing
+either full B x T x U x V tensor) and the teacher's chunk shares the
+student's loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rnnt_loss_fused import _activate
+
+
+@dataclasses.dataclass
+class LwFConfig:
+    knowledge_distillation: float = 0.1       # kd weight
+    knowledge_distillation_ctx: float = 1.0   # kd_ctx: ctc share
+    faithful_raw_logits: bool = False
+
+
+@dataclasses.dataclass
+class LwFState:
+    teacher_params: Any = None  # frozen previous-task params (+batch stats)
+    teacher_batch_stats: Any = None
+
+
+def end_task(params: Any, batch_stats: Any) -> LwFState:
+    """Snapshot the just-trained weights as the next task's teacher —
+    replaces save_model/load_state_dict disk IPC (cl_baseline_lwf.py:
+    220-234)."""
+    return LwFState(
+        teacher_params=jax.tree.map(jnp.array, params),
+        teacher_batch_stats=jax.tree.map(jnp.array, batch_stats),
+    )
+
+
+def ctc_kd_loss(student_logprobs, teacher_logprobs):
+    """KL(teacher || student), torch kl_div(input=student_logprob,
+    target=teacher_prob, reduction='batchmean') semantics: sum / B
+    (cl_baseline_lwf.py:242-246)."""
+    t = jax.lax.stop_gradient(teacher_logprobs.astype(jnp.float32))
+    s = student_logprobs.astype(jnp.float32)
+    kl = jnp.exp(t) * (t - s)
+    return jnp.sum(kl) / student_logprobs.shape[0]
+
+
+def joint_kd_chunked(
+    f_proj_s, g_proj_s, f_proj_t, g_proj_t, head_w_s, head_b_s,
+    head_w_t, head_b_t, *,
+    activation: str = "relu", chunk_size: int = 64,
+    faithful_raw_logits: bool = False,
+):
+    """Chunked KL(teacher joint || student joint), 'batchmean' over B
+    (cl_baseline_lwf.py:248-259)."""
+    B, T, H = f_proj_s.shape
+    n_chunks = -(-T // chunk_size)
+    T_pad = n_chunks * chunk_size
+    pad = T_pad - T
+    if pad:
+        f_proj_s = jnp.pad(f_proj_s, ((0, 0), (0, pad), (0, 0)))
+        f_proj_t = jnp.pad(f_proj_t, ((0, 0), (0, pad), (0, 0)))
+    fs = f_proj_s.reshape(B, n_chunks, chunk_size, H).swapaxes(0, 1)
+    ft = f_proj_t.reshape(B, n_chunks, chunk_size, H).swapaxes(0, 1)
+
+    def joint_chunk(f_chunk, g_proj, w, b):
+        inp = _activate(
+            f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
+        )
+        return (
+            jnp.einsum(
+                "btuh,bhv->btuv", inp, w,
+                preferred_element_type=jnp.float32,
+            )
+            + b[:, None, None, :]
+        )
+
+    @jax.checkpoint
+    def chunk_kd(args):
+        f_s, f_t = args
+        s = joint_chunk(f_s, g_proj_s, head_w_s, head_b_s)
+        t = jax.lax.stop_gradient(
+            joint_chunk(f_t, g_proj_t, head_w_t, head_b_t)
+        )
+        if not faithful_raw_logits:
+            s = jax.nn.log_softmax(s, axis=-1)
+            t = jax.nn.log_softmax(t, axis=-1)
+        # torch kl_div(input=s, target=exp(t)): sum exp(t) * (t - s)
+        return jnp.sum(jnp.exp(t) * (t - s))
+
+    total = jax.lax.map(chunk_kd, (fs, ft)).sum()
+    return total / B

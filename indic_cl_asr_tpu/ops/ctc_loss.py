@@ -38,7 +38,17 @@ def ctc_loss(
         blank_id=blank,
     )
     if zero_infinity:
-        nll = jnp.where(jnp.isfinite(nll), nll, 0.0)
+        # torch zero_infinity semantics (losses/ctc.py zero_infinity=True):
+        # infeasible alignments contribute 0. optax encodes impossibility as
+        # a large-but-finite value (log_epsilon), so test feasibility
+        # directly: frames >= labels + adjacent repeats (each repeat needs a
+        # separating blank).
+        valid_lbl = (u_iota < label_lens[:, None])[:, 1:]
+        repeats = jnp.sum(
+            (labels[:, 1:] == labels[:, :-1]) & valid_lbl, axis=1
+        )
+        feasible = frame_lens >= label_lens + repeats
+        nll = jnp.where(feasible & jnp.isfinite(nll), nll, 0.0)
 
     if reduction is None or reduction == "none":
         return nll

@@ -35,20 +35,32 @@ import jax.numpy as jnp
 NEG_INF = -1e30  # large-but-finite to keep arithmetic NaN-free
 
 
-def _log_matmul_scan(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve x[u] = logaddexp(b[u], a[u] + x[u-1]) (x[-1] = -inf) along the
-    last axis with an associative scan.
+def _to_diagonals(x: jnp.ndarray, fill: float) -> jnp.ndarray:
+    """[B, T, U1] -> [B, T+U1-1, U1] with out[b, d, u] = x[b, d-u, u]
+    (anti-diagonal-major layout; invalid (d-u) slots get ``fill``).
+    The index matrices are static numpy, so this is one fused gather."""
+    B, T, U1 = x.shape
+    D = T + U1 - 1
+    import numpy as _np
 
-    Elements (a, b) compose as (a1+a2, logaddexp(b2, a2+b1)).
-    """
+    d_idx = _np.arange(D)[:, None]
+    u_idx = _np.arange(U1)[None, :]
+    t_idx = d_idx - u_idx                       # [D, U1]
+    valid = (t_idx >= 0) & (t_idx < T)
+    t_safe = _np.clip(t_idx, 0, T - 1)
+    out = x[:, jnp.asarray(t_safe), jnp.asarray(u_idx)]  # [B, D, U1]
+    return jnp.where(jnp.asarray(valid)[None], out, fill)
 
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 + a2, jnp.logaddexp(b2, a2 + b1)
 
-    _, x = jax.lax.associative_scan(combine, (a, b), axis=-1)
-    return x
+def _from_diagonals(xd: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Inverse of _to_diagonals: [B, D, U1] -> [B, T, U1]."""
+    B, D, U1 = xd.shape
+    import numpy as _np
+
+    t_idx = _np.arange(T)[:, None]
+    u_idx = _np.arange(U1)[None, :]
+    d_idx = t_idx + u_idx                        # [T, U1], always valid
+    return xd[:, jnp.asarray(d_idx), jnp.asarray(_np.broadcast_to(u_idx, (T, U1)))]
 
 
 def _prepare(lp_blank, lp_label, t_lens, u_lens):
@@ -63,71 +75,85 @@ def _prepare(lp_blank, lp_label, t_lens, u_lens):
     return lpb, lpl, t_valid, label_valid
 
 
+def _shift_right(x, fill=NEG_INF):
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]], axis=-1
+    )
+
+
+def _shift_left(x, fill=NEG_INF):
+    return jnp.concatenate(
+        [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)], axis=-1
+    )
+
+
 def _alpha_scan(lpb, lpl):
-    """Forward lattice. Returns alpha [B, T, U+1] (alpha[0,0] = 0)."""
+    """Forward lattice by anti-diagonal wavefront.
+
+    Both of alpha[t,u]'s predecessors — blank (t-1,u) and label (t,u-1) —
+    live on diagonal d-1 = t+u-1, so the scan body is two adds, one shift
+    and one logaddexp over [B, U1]: trivially cheap to compile and to run,
+    unlike the GPU reference's per-block wavefront threads.
+
+    Returns alpha [B, T, U+1] (alpha[0,0] = 0).
+    """
     B, T, U1 = lpb.shape
+    lpb_d = _to_diagonals(lpb, NEG_INF)  # [B, D, U1], D = T+U1-1
+    lpl_d = _to_diagonals(lpl, NEG_INF)
 
-    # within-row label coefficients, shifted right: a[u] = lpl[t, u-1]
-    a_all = jnp.concatenate(
-        [jnp.full((B, T, 1), NEG_INF, lpl.dtype), lpl[:, :, :-1]], axis=-1
+    alpha0 = jnp.full((B, U1), NEG_INF, lpb.dtype).at[:, 0].set(0.0)
+
+    def step(alpha_prev, xs):
+        lpb_prev, lpl_prev = xs  # diagonal d-1 entries
+        blank = alpha_prev + lpb_prev
+        label = _shift_right(alpha_prev + lpl_prev)
+        alpha_d = jnp.logaddexp(blank, label)
+        return alpha_d, alpha_d
+
+    xs = (
+        jnp.swapaxes(lpb_d, 0, 1)[:-1],  # diagonals 0..D-2 feed 1..D-1
+        jnp.swapaxes(lpl_d, 0, 1)[:-1],
     )
-
-    first_b = jnp.full((B, U1), NEG_INF, lpb.dtype).at[:, 0].set(0.0)
-
-    def row(alpha_prev, inputs):
-        a_row, lpb_prev, is_first = inputs
-        blank_in = jnp.where(
-            is_first, first_b, alpha_prev + lpb_prev
-        )
-        alpha_row = _log_matmul_scan(a_row, blank_in)
-        return alpha_row, alpha_row
-
-    is_first = jnp.zeros((T,), bool).at[0].set(True)
-    lpb_prev = jnp.concatenate(
-        [jnp.zeros((B, 1, U1), lpb.dtype), lpb[:, :-1]], axis=1
-    )
-    _, alpha = jax.lax.scan(
-        row,
-        jnp.zeros((B, U1), lpb.dtype),
-        (
-            jnp.swapaxes(a_all, 0, 1),
-            jnp.swapaxes(lpb_prev, 0, 1),
-            is_first,
-        ),
-    )
-    return jnp.swapaxes(alpha, 0, 1)  # [B, T, U+1]
+    _, rest = jax.lax.scan(step, alpha0, xs)
+    alpha_d = jnp.concatenate([alpha0[None], rest], axis=0)  # [D, B, U1]
+    return _from_diagonals(jnp.swapaxes(alpha_d, 0, 1), T)
 
 
 def _beta_scan(lpb, lpl, u_lens):
-    """Backward lattice. beta[t, u] = log P(complete | t, u)."""
+    """Backward lattice by anti-diagonal wavefront, on a lattice extended
+    with a virtual exit row t = T where beta[T, u] = 0 iff u == u_len
+    (the free-blank padding trick's exit). Returns beta_ext [B, T+1, U+1];
+    beta_ext[:, 0, 0] is log Z.
+    """
     B, T, U1 = lpb.shape
-    # virtual row beta[T, u] = 0 at u == u_len else -inf (exit after final
-    # blank of the padded lattice)
+    pad_row = jnp.full((B, 1, U1), NEG_INF, lpb.dtype)
+    lpb_e = jnp.concatenate([lpb, pad_row], axis=1)  # [B, T+1, U1]
+    lpl_e = jnp.concatenate([lpl, pad_row], axis=1)
+    lpb_d = jnp.swapaxes(_to_diagonals(lpb_e, NEG_INF), 0, 1)  # [D', B, U1]
+    lpl_d = jnp.swapaxes(_to_diagonals(lpl_e, NEG_INF), 0, 1)
+    D = T + U1  # diagonals of the extended lattice
+
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (B, U1), 1)
     exit_row = jnp.where(u_iota == u_lens[:, None], 0.0, NEG_INF)
 
-    # within-row recurrence (u scanned downward):
-    #   beta[t, u] = logaddexp(lpb[t,u] + beta[t+1,u], lpl[t,u] + beta[t,u+1])
-    # Flip u (k = U1-1-u): y[k] = logaddexp(b'[k], a'[k] + y[k-1]) with
-    # b' = flip(lpb + beta_next), a' = flip(lpl); y[-1] = -inf matches
-    # beta[t, U1] = -inf.
-    def row(beta_next, inputs):
-        lpb_row, lpl_row = inputs
-        b = jnp.flip(lpb_row + beta_next, -1)
-        a = jnp.flip(lpl_row, -1)
-        beta_row = jnp.flip(_log_matmul_scan(a, b), -1)
-        return beta_row, beta_row
+    def step(beta_next, xs):
+        lpb_row, lpl_row, d = xs  # entries of diagonal d
+        blank = lpb_row + beta_next
+        label = lpl_row + _shift_left(beta_next)
+        cand = jnp.logaddexp(blank, label)
+        # boundary: cells with t = d - u == T take the exit value
+        exit_here = (d - u_iota) == T
+        beta_d = jnp.where(exit_here, exit_row, cand)
+        return beta_d, beta_d
 
-    _, beta_rev = jax.lax.scan(
-        row,
-        exit_row,
-        (
-            jnp.swapaxes(jnp.flip(lpb, 1), 0, 1),
-            jnp.swapaxes(jnp.flip(lpl, 1), 0, 1),
-        ),
+    ds = jnp.arange(D - 2, -1, -1)  # scan diagonals D-2 .. 0
+    beta_last = jnp.where((D - 1 - u_iota) == T, exit_row, NEG_INF)
+    _, rest = jax.lax.scan(step, beta_last, (lpb_d[ds], lpl_d[ds], ds))
+    # rest holds diagonals D-2..0; assemble [D, B, U1] in ascending order
+    beta_d_all = jnp.concatenate(
+        [jnp.flip(rest, 0), beta_last[None]], axis=0
     )
-    beta = jnp.flip(jnp.swapaxes(beta_rev, 0, 1), 1)
-    return beta
+    return _from_diagonals(jnp.swapaxes(beta_d_all, 0, 1), T + 1)
 
 
 @jax.custom_vjp
@@ -166,16 +192,12 @@ def _bwd(res, g):
         lp_blank, lp_label, t_lens, u_lens
     )
     B, T, U1 = lpb.shape
-    beta = _beta_scan(lpb, lpl, u_lens)
-    logZ = -nll  # == beta[:, 0, 0]
+    beta_ext = _beta_scan(lpb, lpl, u_lens)  # [B, T+1, U1], row T = exit
+    logZ = -nll  # == beta_ext[:, 0, 0]
 
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (B, U1), 1)
-    exit_row = jnp.where(u_iota == u_lens[:, None], 0.0, NEG_INF)
-    beta_tnext = jnp.concatenate(
-        [beta[:, 1:], exit_row[:, None, :]], axis=1
-    )  # beta[t+1, u] with virtual exit row
+    beta_tnext = beta_ext[:, 1:]  # beta[t+1, u] incl. virtual exit row
     beta_unext = jnp.concatenate(
-        [beta[:, :, 1:], jnp.full((B, T, 1), NEG_INF)], axis=2
+        [beta_ext[:, :T, 1:], jnp.full((B, T, 1), NEG_INF)], axis=2
     )  # beta[t, u+1]
 
     occ_blank = -jnp.exp(

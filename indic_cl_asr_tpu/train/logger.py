@@ -1,0 +1,82 @@
+"""Run logger: wandb (when available) + text log + JSONL metrics.
+
+Reference: utils.py:7-53 `Logger` — every `log(dict)` goes to wandb and is
+appended to ``output_dir/<run_id>/log.txt``; numeric values are accumulated
+and re-logged as ``epoch_avg_*`` on `log_epoch_average()`. We keep that
+contract, add a machine-readable metrics.jsonl, and degrade gracefully when
+wandb is not installed or offline (this environment has no egress).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class Logger:
+    def __init__(
+        self,
+        output_dir: str,
+        run_id: str | None = None,
+        use_wandb: bool = True,
+        wandb_kwargs: dict | None = None,
+    ):
+        self.run_id = run_id or uuid.uuid4().hex[:8]
+        self.dir = os.path.join(output_dir, self.run_id)
+        os.makedirs(self.dir, exist_ok=True)
+        self._txt = open(os.path.join(self.dir, "log.txt"), "a")
+        self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._epoch_acc: dict[str, list[float]] = {}
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    dir=self.dir, **(wandb_kwargs or {})
+                )
+            except Exception:
+                self._wandb = None  # no wandb / no egress: text-only
+
+    def log(self, record: dict) -> None:
+        stamped = {"_time": time.time(), **_to_plain(record)}
+        self._txt.write(json.dumps(stamped, ensure_ascii=False) + "\n")
+        self._txt.flush()
+        self._jsonl.write(json.dumps(stamped, ensure_ascii=False) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(record)
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                self._epoch_acc.setdefault(k, []).append(float(v))
+
+    def log_epoch_average(self) -> dict:
+        """Re-log accumulated numeric means as epoch_avg_* and reset
+        (utils.py:34-53)."""
+        avg = {
+            f"epoch_avg_{k}": sum(v) / len(v)
+            for k, v in self._epoch_acc.items()
+            if v
+        }
+        self._epoch_acc.clear()
+        if avg:
+            self.log(avg)
+        return avg
+
+    def close(self) -> None:
+        self._txt.close()
+        self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def _to_plain(record: dict) -> dict:
+    out = {}
+    for k, v in record.items():
+        try:
+            out[k] = float(v) if hasattr(v, "item") else v
+        except Exception:
+            out[k] = str(v)
+    return out

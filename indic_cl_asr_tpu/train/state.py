@@ -1,0 +1,68 @@
+"""Train state + optimizer with trainable-mask freezing.
+
+Replaces the reference's AdamW-over-requires_grad-params setup
+(reference: cl_baseline.py:137 `AdamW(lr=1e-4)` + utils.py:246-263
+`freeze_layer`): freezing is an `optax.masked` boolean pytree (see
+utils/pytree.py `conformer_freeze_mask`) plus the encoder's stop-gradient
+cut, and the state is an immutable pytree that shards/checkpoints cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.01,  # torch AdamW default, used by the drivers
+    trainable_mask: Any | None = None,
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    txs = []
+    if grad_clip:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(
+        optax.adamw(
+            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+        )
+    )
+    tx = optax.chain(*txs)
+    if trainable_mask is not None:
+        # frozen leaves must get ZERO updates (optax.masked would pass raw
+        # gradients through unchanged for masked-out leaves)
+        labels = jax.tree.map(
+            lambda t: "train" if t else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def create_train_state(
+    variables: dict, tx: optax.GradientTransformation
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )

@@ -1,0 +1,174 @@
+"""The jitted hybrid training step.
+
+One fused XLA program per bucket shape, equivalent to the reference's
+training_step (reference: hybrid_rnnt_ctc_models.py:859-930):
+
+  mel front-end (+train-only dither) -> SpecAugment -> Conformer encode
+  -> prediction net -> joint projections -> streaming RNNT loss
+  -> CTC head -> CTC loss
+  -> loss = (1 - w)*rnnt + w*ctc   (w = ctc_loss_weight, :902)
+  [+ optional CL penalty over params]
+  -> grads -> masked AdamW update, batch-stats update.
+
+Unlike the reference, batch WER is NOT computed inside the step (SURVEY.md
+§3.2 flags the always-on greedy decode as a large avoidable cost); use
+train/eval.py on demand instead.
+
+The step is written against pure pytrees so it jits under any
+`jax.sharding.Mesh`: data-parallel gradients appear as XLA all-reduces
+inserted by GSPMD, not explicit collectives (SURVEY.md §2.3/§5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..audio.features import FrontendConfig, log_mel_spectrogram
+from ..audio.spec_augment import SpecAugmentConfig, spec_augment
+from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
+from ..ops.ctc_loss import ctc_loss
+from ..ops.rnnt_loss_fused import rnnt_loss_fused
+from .state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    frontend: FrontendConfig = FrontendConfig()
+    spec_augment: SpecAugmentConfig = SpecAugmentConfig()
+    ctc_loss_weight: float = 0.5
+    rnnt_chunk_size: int = 64
+    use_spec_augment: bool = True
+
+
+def hybrid_forward_loss(
+    model: HybridRNNTCTC,
+    model_cfg: HybridModelConfig,
+    step_cfg: StepConfig,
+    params,
+    batch_stats,
+    audio, audio_lens, tokens, token_lens, lang_ids,
+    rng,
+    train: bool = True,
+):
+    """Returns ((loss, aux), mutated_batch_stats). Pure function of params."""
+    k_dither, k_spec, k_drop, k_joint = jax.random.split(rng, 4)
+
+    mel, mel_lens = log_mel_spectrogram(
+        audio, audio_lens, step_cfg.frontend, training=train, rng=k_dither
+    )
+    if train and step_cfg.use_spec_augment:
+        mel = spec_augment(mel, mel_lens, k_spec, step_cfg.spec_augment)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": k_drop}
+
+    def apply(method, *args, **kw):
+        return model.apply(
+            variables, *args, method=method, rngs=rngs,
+            mutable=["batch_stats"], **kw,
+        )
+
+    # only encode mutates batch_stats (conv-module BatchNorm)
+    (f, enc_lens), mut = apply("encode", mel, mel_lens, train)
+    (g, _), _ = apply("predict", tokens, True, None, train)
+    (f_proj, g_proj), _ = apply("joint_project", f, g)
+    new_batch_stats = (
+        mut.get("batch_stats", batch_stats) if train else batch_stats
+    )
+
+    jcfg = model_cfg.joint_config()
+    head_w = jnp.take(params["joint"]["head_kernel"], lang_ids, axis=0)
+    head_b = jnp.take(params["joint"]["head_bias"], lang_ids, axis=0)
+
+    rnnt = rnnt_loss_fused(
+        f_proj, g_proj, head_w, head_b, tokens,
+        enc_lens, token_lens,
+        blank=model_cfg.blank_local,
+        activation=jcfg.activation,
+        reduction="mean_batch",
+        chunk_size=step_cfg.rnnt_chunk_size,
+        dropout_rate=jcfg.dropout if train else 0.0,
+        dropout_rng=k_joint,
+    )
+
+    (ctc_lp), _ = apply("ctc_logprobs", f, lang_ids)
+    ctc = ctc_loss(
+        ctc_lp, enc_lens, tokens, token_lens,
+        blank=model_cfg.blank_local, reduction="mean_batch",
+    )
+
+    w = step_cfg.ctc_loss_weight
+    loss = (1.0 - w) * rnnt + w * ctc
+    aux = {
+        "train_rnnt_loss": rnnt,
+        "train_ctc_loss": ctc,
+        "train_loss": loss,
+    }
+    return loss, (aux, new_batch_stats)
+
+
+def make_train_step(
+    model: HybridRNNTCTC,
+    model_cfg: HybridModelConfig,
+    step_cfg: StepConfig,
+    tx: optax.GradientTransformation,
+    penalty_fn: Callable | None = None,
+):
+    """Build the jittable train step.
+
+    ``penalty_fn(params) -> (penalty_loss, penalty_grads_or_None)`` hooks the
+    CL algorithms in: EWC/MAS add a scalar penalty (grads via autodiff); EWC
+    in the reference adds penalty GRADS directly before backward
+    (cl_baseline_ewc.py:228-231), which corresponds to returning grads here.
+    """
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        def loss_fn(params):
+            loss, (aux, new_bs) = hybrid_forward_loss(
+                model, model_cfg, step_cfg, params, state.batch_stats,
+                batch["audio"], batch["audio_len"], batch["tokens"],
+                batch["token_len"], batch["lang_ids"], rng, train=True,
+            )
+            if penalty_fn is not None:
+                pen, _ = penalty_fn(params)
+                aux = dict(aux, penalty=pen, train_loss=loss + pen)
+                loss = loss + pen
+            return loss, (aux, new_bs)
+
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if penalty_fn is not None:
+            _, extra_grads = penalty_fn(state.params)
+            if extra_grads is not None:
+                grads = jax.tree.map(jnp.add, grads, extra_grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            aux,
+        )
+
+    return train_step
+
+
+def batch_to_device_dict(batch) -> dict:
+    return {
+        "audio": jnp.asarray(batch.audio),
+        "audio_len": jnp.asarray(batch.audio_len),
+        "tokens": jnp.asarray(batch.tokens),
+        "token_len": jnp.asarray(batch.token_len),
+        "lang_ids": jnp.asarray(batch.lang_ids),
+    }

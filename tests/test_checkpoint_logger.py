@@ -1,0 +1,72 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indic_cl_asr_tpu.train.logger import Logger
+from indic_cl_asr_tpu.utils import pytree as pt
+from indic_cl_asr_tpu.utils.checkpoint import (
+    SequenceCheckpointer,
+    load_partial,
+    load_pytree,
+    save_partial,
+    save_pytree,
+)
+
+
+def test_logger_text_jsonl_and_epoch_average(tmp_path):
+    logger = Logger(str(tmp_path), run_id="test", use_wandb=False)
+    logger.log({"train_loss": 2.0, "note": "hello"})
+    logger.log({"train_loss": 4.0})
+    avg = logger.log_epoch_average()
+    assert avg == {"epoch_avg_train_loss": 3.0}
+    logger.close()
+
+    lines = open(tmp_path / "test" / "log.txt").read().strip().splitlines()
+    assert len(lines) == 3
+    rec = json.loads(lines[0])
+    assert rec["train_loss"] == 2.0 and rec["note"] == "hello"
+    assert json.loads(lines[2])["epoch_avg_train_loss"] == 3.0
+    assert os.path.exists(tmp_path / "test" / "metrics.jsonl")
+
+
+def test_pytree_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}
+    save_pytree(str(tmp_path / "ckpt"), tree)
+    restored = load_pytree(str(tmp_path / "ckpt"), like=tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored["b"]["c"]), np.ones((2, 3))
+    )
+
+
+def test_partial_save_restore(tmp_path):
+    params = {
+        "enc": {"w": jnp.ones(3)},
+        "head": {"w": jnp.full((2,), 2.0)},
+    }
+    mask = pt.path_mask(params, lambda p: p.startswith("head"))
+    p = str(tmp_path / "partial.npz")
+    save_partial(p, params, mask)
+
+    fresh = jax.tree.map(jnp.zeros_like, params)
+    restored = load_partial(p, fresh)
+    np.testing.assert_array_equal(np.asarray(restored["head"]["w"]), 2.0)
+    np.testing.assert_array_equal(np.asarray(restored["enc"]["w"]), 0.0)
+
+
+def test_sequence_checkpointer_resume(tmp_path):
+    ckpt = SequenceCheckpointer(str(tmp_path / "seq"))
+    assert ckpt.latest_task() is None
+    state = {"params": {"w": jnp.arange(3.0)}}
+    ckpt.save_task(0, "hindi", state, {"hindi": [{"rnnt_wer": 0.4}]})
+    ckpt.save_task(1, "bengali", state, {"hindi": [{"rnnt_wer": 0.4}]})
+    assert ckpt.latest_task() == (1, "bengali")
+    restored = ckpt.load_task(1, "bengali", state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(3.0)
+    )
+    m = ckpt.manifest()
+    assert m["completed_tasks"] == ["hindi", "bengali"]

@@ -1,0 +1,157 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indic_cl_asr_tpu.cl import ewc, lwf, mas
+from indic_cl_asr_tpu.utils.pytree import path_mask
+
+
+def small_params(scale=1.0):
+    return {
+        "a": {"w": jnp.array([1.0, 2.0]) * scale},
+        "b": {"w": jnp.array([[3.0]]) * scale},
+    }
+
+
+class TestEWC:
+    def test_penalty_grads_formula(self):
+        cfg = ewc.EWCConfig(e_lambda=5.0)
+        params = small_params(2.0)
+        ckpt = small_params(1.0)
+        fish = jax.tree.map(jnp.ones_like, params)
+        grads, monitor = ewc.penalty_grads(cfg, fish, params, ckpt)
+        # 2 * lambda * F * (p - c) = 2*5*1*(p - p/2)
+        np.testing.assert_allclose(
+            np.asarray(grads["a"]["w"]), 2 * 5 * 1 * np.array([1.0, 2.0])
+        )
+        assert monitor > 0
+
+    def test_fisher_accumulate_and_merge(self):
+        cfg = ewc.EWCConfig(e_gamma=0.5)
+        params = small_params()
+        fish = jax.tree.map(jnp.zeros_like, params)
+        grads = jax.tree.map(lambda p: 2 * jnp.ones_like(p), params)
+        fish = ewc.accumulate_fisher(fish, grads, loss_value=3.0, batch_size=4)
+        np.testing.assert_allclose(np.asarray(fish["a"]["w"]), 3.0 * 4.0)
+        fish = ewc.finalize_fisher(fish, total_utterances=6)
+        np.testing.assert_allclose(np.asarray(fish["a"]["w"]), 2.0)
+
+        merged = ewc.merge_fisher(cfg, None, fish)
+        assert merged is fish
+        merged2 = ewc.merge_fisher(cfg, fish, fish)
+        np.testing.assert_allclose(np.asarray(merged2["a"]["w"]), 0.5 * 2 + 2)
+
+    def test_end_task_zeroes_frozen_and_snapshots(self):
+        cfg = ewc.EWCConfig()
+        params = small_params()
+        fish = jax.tree.map(jnp.ones_like, params)
+        mask = path_mask(params, lambda p: p.startswith("a"))
+        state = ewc.end_task(cfg, ewc.EWCState(), fish, 2, params, mask)
+        assert np.all(np.asarray(state.main_fish["b"]["w"]) == 0.0)
+        assert np.all(np.asarray(state.main_fish["a"]["w"]) == 0.5)
+        np.testing.assert_allclose(
+            np.asarray(state.checkpoint["a"]["w"]), np.asarray(params["a"]["w"])
+        )
+        # penalty fn active after first task
+        fn = ewc.make_penalty_fn(cfg, state)
+        pen, grads = fn(small_params(3.0))
+        assert float(pen) == 0.0 and grads is not None
+        assert ewc.make_penalty_fn(cfg, ewc.EWCState()) is None
+
+
+class TestMAS:
+    def test_penalty_formula(self):
+        cfg = mas.MASConfig(mas_lambda=2.0)
+        params = small_params(2.0)
+        ckpt = small_params(1.0)
+        omega = jax.tree.map(jnp.ones_like, params)
+        p = mas.penalty(cfg, omega, params, ckpt)
+        # sum((p-c)^2) = 1 + 4 + 9 = 14; * lambda 2
+        assert float(p) == pytest.approx(28.0)
+
+    def test_importance_accumulation_and_overwrite(self):
+        params = small_params()
+        omega = jax.tree.map(jnp.zeros_like, params)
+        g = jax.tree.map(lambda p: -2.0 * jnp.ones_like(p), params)
+        omega = mas.accumulate_importance(omega, g)
+        np.testing.assert_allclose(np.asarray(omega["a"]["w"]), 2.0)
+        mask = jax.tree.map(lambda _: True, params)
+        state = mas.end_task(mas.MASState(), omega, 2, params, mask)
+        np.testing.assert_allclose(np.asarray(state.importance["a"]["w"]), 1.0)
+
+    def test_joint_energy_matches_materialized(self, rng):
+        B, T, U1, H, V1 = 2, 9, 4, 6, 5
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((B, H, V1)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((B, V1)), jnp.float32)
+        got = float(
+            mas.joint_energy_chunked(f, g, w, b, chunk_size=3)
+        )
+        inp = jax.nn.relu(f[:, :, None, :] + g[:, None, :, :])
+        logits = jnp.einsum("btuh,bhv->btuv", inp, w) + b[:, None, None, :]
+        want = float(jnp.mean(jnp.sum(logits**2, -1)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestLwF:
+    def test_ctc_kd_zero_when_identical(self, rng):
+        lp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((3, 5, 7)), jnp.float32), -1
+        )
+        assert float(lwf.ctc_kd_loss(lp, lp)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_ctc_kd_positive_and_batchmean(self, rng):
+        a = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((4, 5, 7)), jnp.float32), -1
+        )
+        b = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((4, 5, 7)), jnp.float32), -1
+        )
+        kl = float(lwf.ctc_kd_loss(a, b))
+        assert kl > 0
+        # doubling batch with identical halves keeps batchmean constant
+        a2 = jnp.concatenate([a, a]); b2 = jnp.concatenate([b, b])
+        assert float(lwf.ctc_kd_loss(a2, b2)) == pytest.approx(kl, rel=1e-5)
+
+    def test_joint_kd_zero_for_same_model_and_positive_otherwise(self, rng):
+        B, T, U1, H, V1 = 2, 8, 3, 6, 5
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((B, H, V1)), jnp.float32)
+        b = jnp.zeros((B, V1))
+        same = float(
+            lwf.joint_kd_chunked(f, g, f, g, w, b, w, b, chunk_size=4)
+        )
+        assert same == pytest.approx(0.0, abs=1e-4)
+        w2 = w * 0.5
+        diff = float(
+            lwf.joint_kd_chunked(f, g, f, g, w, b, w2, b, chunk_size=4)
+        )
+        assert diff > 0
+
+    def test_teacher_gets_no_gradient(self, rng):
+        B, T, U1, H, V1 = 2, 6, 3, 4, 5
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w_s = jnp.asarray(rng.standard_normal((B, H, V1)), jnp.float32)
+        w_t = jnp.asarray(rng.standard_normal((B, H, V1)), jnp.float32)
+        b = jnp.zeros((B, V1))
+
+        g_s, g_t = jax.grad(
+            lambda ws, wt: lwf.joint_kd_chunked(
+                f, g, f, g, ws, b, wt, b, chunk_size=3
+            ),
+            argnums=(0, 1),
+        )(w_s, w_t)
+        assert float(jnp.abs(g_s).sum()) > 0
+        assert float(jnp.abs(g_t).sum()) == 0.0
+
+    def test_end_task_snapshots(self):
+        params = small_params()
+        st = lwf.end_task(params, {"bn": jnp.ones(2)})
+        np.testing.assert_allclose(
+            np.asarray(st.teacher_params["a"]["w"]),
+            np.asarray(params["a"]["w"]),
+        )

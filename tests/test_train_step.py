@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indic_cl_asr_tpu.audio.features import FrontendConfig
+from indic_cl_asr_tpu.audio.spec_augment import SpecAugmentConfig
+from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
+from indic_cl_asr_tpu.parallel.sharding import (
+    batch_shardings,
+    make_mesh,
+    shard_train_state,
+    tree_shardings,
+)
+from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
+from indic_cl_asr_tpu.train.step import (
+    StepConfig,
+    batch_to_device_dict,
+    make_train_step,
+)
+from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask, named_leaves
+
+
+def make_setup(freeze_till=0, use_sa=False):
+    cfg = tiny_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    mask = conformer_freeze_mask(variables["params"], freeze_till)
+    tx = make_optimizer(lr=3e-3, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    step_cfg = StepConfig(
+        frontend=FrontendConfig(n_mels=cfg.encoder.feat_in),
+        spec_augment=SpecAugmentConfig(freq_masks=1, time_masks=2),
+        use_spec_augment=use_sa,
+        rnnt_chunk_size=8,
+    )
+    step = make_train_step(model, cfg, step_cfg, tx)
+    return cfg, model, state, step
+
+
+def make_batch(cfg, rng, B=4, S=8000, U=6):
+    return {
+        "audio": jnp.asarray(
+            0.1 * rng.standard_normal((B, S)), jnp.float32
+        ),
+        "audio_len": jnp.asarray(
+            np.array([S, S, S // 2, S // 4], np.int32)[:B]
+        ),
+        "tokens": jnp.asarray(
+            rng.integers(1, cfg.vocab_per_lang, (B, U)).astype(np.int32)
+        ),
+        "token_len": jnp.full((B,), U, jnp.int32),
+        "lang_ids": jnp.asarray(np.array([0, 1, 2, 3], np.int32)[:B]),
+    }
+
+
+def test_train_step_runs_and_loss_decreases(rng):
+    cfg, model, state, step = make_setup()
+    batch = make_batch(cfg, rng)
+    jstep = jax.jit(step)
+    losses = []
+    for i in range(12):
+        state, aux = jstep(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(aux["train_loss"]))
+    assert int(state.step) == 12
+    assert np.isfinite(losses).all()
+    # overfitting one small batch must reduce loss substantially
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_frozen_params_do_not_move(rng):
+    cfg, model, state, step = make_setup(freeze_till=1)
+    batch = make_batch(cfg, rng)
+    before = named_leaves(state.params)
+    state2, _ = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    after = named_leaves(state2.params)
+    frozen_same = np.allclose(
+        np.asarray(before["encoder/layers_0/self_attn/linear_q/kernel"]),
+        np.asarray(after["encoder/layers_0/self_attn/linear_q/kernel"]),
+    )
+    trainable_moved = not np.allclose(
+        np.asarray(before["encoder/layers_1/self_attn/linear_q/kernel"]),
+        np.asarray(after["encoder/layers_1/self_attn/linear_q/kernel"]),
+    )
+    assert frozen_same and trainable_moved
+    # pre-encode also frozen
+    assert np.allclose(
+        np.asarray(before["encoder/pre_encode/conv_0/kernel"]),
+        np.asarray(after["encoder/pre_encode/conv_0/kernel"]),
+    )
+
+
+def test_batch_stats_update_and_spec_augment_path(rng):
+    cfg, model, state, step = make_setup(use_sa=True)
+    batch = make_batch(cfg, rng)
+    state2, aux = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    before = jax.tree.leaves(state.batch_stats)
+    after = jax.tree.leaves(state2.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+    assert np.isfinite(float(aux["train_rnnt_loss"]))
+    assert np.isfinite(float(aux["train_ctc_loss"]))
+
+
+class TestSharded:
+    def test_dp_tp_mesh_step_matches_single_device(self, rng):
+        cfg, model, state, step = make_setup()
+        batch = make_batch(cfg, rng)
+        rng_key = jax.random.PRNGKey(0)
+
+        # single device reference
+        state1, aux1 = jax.jit(step)(state, batch, rng_key)
+
+        # 4 data x 2 model mesh on the 8 virtual CPU devices
+        mesh = make_mesh(n_data=4, n_model=2)
+        sstate = shard_train_state(state, mesh)
+        sbatch = jax.device_put(batch, batch_shardings(batch, mesh))
+        jstep = jax.jit(
+            step,
+            in_shardings=(
+                tree_shardings(state, mesh),
+                batch_shardings(batch, mesh),
+                None,
+            ),
+        )
+        state2, aux2 = jstep(sstate, sbatch, rng_key)
+
+        np.testing.assert_allclose(
+            float(aux1["train_loss"]), float(aux2["train_loss"]),
+            rtol=2e-4,
+        )
+        # a sampled parameter matches after the update
+        p1 = named_leaves(state1.params)["joint/enc/kernel"]
+        p2 = named_leaves(state2.params)["joint/enc/kernel"]
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), atol=2e-5
+        )
+
+    def test_param_sharding_rules_applied(self):
+        cfg = tiny_config()
+        _, variables = init_model(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(n_data=4, n_model=2)
+        sh = named_leaves(tree_shardings(variables["params"], mesh))
+        ffn = sh["encoder/layers_0/feed_forward1/linear1/kernel"]
+        assert ffn.spec == jax.sharding.PartitionSpec(None, "model")
+        out = sh["encoder/layers_0/self_attn/linear_out/kernel"]
+        assert out.spec == jax.sharding.PartitionSpec("model", None)
+        ln = sh["encoder/layers_0/norm_out/scale"]
+        assert ln.spec == jax.sharding.PartitionSpec()
