@@ -1,0 +1,271 @@
+"""CL method adapters plugging ewc/mas/lwf into the sequence driver.
+
+Each adapter owns its algorithm state across tasks and provides:
+  * penalty_fn(task_idx) for the jitted train step,
+  * the optional "+1 importance epoch" batch/finalize hooks
+    (EWC: Fisher; MAS: output-energy importance — SURVEY.md §3.4),
+  * for LwF, a replacement train step with the distillation loss
+    (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
+from ..train.driver import CLMethod
+from ..train.state import TrainState
+from ..train.step import StepConfig, hybrid_forward_loss
+from ..utils.pytree import tree_zeros_like
+from . import ewc as E
+from . import lwf as L
+from . import mas as M
+
+
+class NaiveMethod(CLMethod):
+    name = "naive"
+
+
+@dataclasses.dataclass
+class EWCMethod(CLMethod):
+    """cl_baseline_ewc.py semantics; see cl/ewc.py."""
+
+    cfg: E.EWCConfig
+    model: HybridRNNTCTC
+    model_cfg: HybridModelConfig
+    step_cfg: StepConfig
+    trainable_mask: object
+    name: str = "ewc"
+
+    def __post_init__(self):
+        self.state = E.EWCState()
+        model, model_cfg, step_cfg = self.model, self.model_cfg, self.step_cfg
+
+        def fisher_batch(params, batch_stats, batch, rng):
+            def loss_fn(p):
+                loss, _ = hybrid_forward_loss(
+                    model, model_cfg, step_cfg, p, batch_stats,
+                    batch["audio"], batch["audio_len"], batch["tokens"],
+                    batch["token_len"], batch["lang_ids"], rng, train=True,
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return loss, grads
+
+        self._fisher_batch = jax.jit(fisher_batch)
+
+    def penalty_fn(self, task_idx: int):
+        if task_idx == 0:
+            return None
+        return E.make_penalty_fn(self.cfg, self.state)
+
+    def wants_importance_epoch(self) -> bool:
+        return True
+
+    def begin_importance(self, params):
+        return tree_zeros_like(params)
+
+    def importance_batch(self, acc, state: TrainState, batch, rng):
+        loss, grads = self._fisher_batch(
+            state.params, state.batch_stats, batch, rng
+        )
+        return E.accumulate_fisher(acc, grads, loss, batch["audio"].shape[0])
+
+    def end_task(self, state: TrainState, acc, n_batches, total_utterances):
+        self.state = E.end_task(
+            self.cfg, self.state, acc, max(total_utterances, 1),
+            state.params, self.trainable_mask,
+        )
+
+
+@dataclasses.dataclass
+class MASMethod(CLMethod):
+    """cl_baseline_mas.py semantics; see cl/mas.py."""
+
+    cfg: M.MASConfig
+    model: HybridRNNTCTC
+    model_cfg: HybridModelConfig
+    step_cfg: StepConfig
+    trainable_mask: object
+    name: str = "mas"
+
+    def __post_init__(self):
+        self.state = M.MASState()
+        model, model_cfg, step_cfg = self.model, self.model_cfg, self.step_cfg
+        jcfg = model_cfg.joint_config()
+
+        def surrogate_batch(params, batch_stats, batch, rng):
+            def surrogate(p):
+                variables = {"params": p, "batch_stats": batch_stats}
+                from ..audio.features import log_mel_spectrogram
+
+                mel, mel_lens = log_mel_spectrogram(
+                    batch["audio"], batch["audio_len"], step_cfg.frontend,
+                    training=False,
+                )
+                (f, enc_lens), _ = model.apply(
+                    variables, mel, mel_lens, True, method="encode",
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                g, _ = model.apply(
+                    variables, batch["tokens"], True, None, False,
+                    method="predict",
+                )
+                f_proj, g_proj = model.apply(
+                    variables, f, g, method="joint_project"
+                )
+                hw = jnp.take(
+                    p["joint"]["head_kernel"], batch["lang_ids"], axis=0
+                )
+                hb = jnp.take(
+                    p["joint"]["head_bias"], batch["lang_ids"], axis=0
+                )
+                _, ctc_logits = model.apply(
+                    variables, f, batch["lang_ids"], True,
+                    method="ctc_logprobs",
+                )
+                return M.mas_surrogate(
+                    self.cfg, f_proj, g_proj, hw, hb, ctc_logits,
+                    activation=jcfg.activation,
+                    chunk_size=step_cfg.rnnt_chunk_size,
+                )
+
+            return jax.grad(surrogate)(params)
+
+        self._surrogate_batch = jax.jit(surrogate_batch)
+
+    def penalty_fn(self, task_idx: int):
+        if task_idx == 0:
+            return None
+        return M.make_penalty_fn(self.cfg, self.state)
+
+    def wants_importance_epoch(self) -> bool:
+        return True
+
+    def begin_importance(self, params):
+        return tree_zeros_like(params)
+
+    def importance_batch(self, acc, state: TrainState, batch, rng):
+        grads = self._surrogate_batch(
+            state.params, state.batch_stats, batch, rng
+        )
+        return M.accumulate_importance(acc, grads)
+
+    def end_task(self, state: TrainState, acc, n_batches, total_utterances):
+        self.state = M.end_task(
+            self.state, acc, max(n_batches, 1), state.params,
+            self.trainable_mask,
+        )
+
+
+@dataclasses.dataclass
+class LwFMethod(CLMethod):
+    """cl_baseline_lwf.py semantics; see cl/lwf.py. Overrides the train
+    step entirely: task loss + teacher/student KD per batch."""
+
+    cfg: L.LwFConfig
+    model: HybridRNNTCTC
+    model_cfg: HybridModelConfig
+    step_cfg: StepConfig
+    tx: object
+    name: str = "lwf"
+
+    def __post_init__(self):
+        self.state = L.LwFState()
+
+    def make_train_step(self, base_builder: Callable, task_idx: int):
+        if task_idx == 0 or self.state.teacher_params is None:
+            return jax.jit(base_builder(None))
+
+        model, model_cfg, step_cfg = self.model, self.model_cfg, self.step_cfg
+        lcfg = self.cfg
+        jcfg = model_cfg.joint_config()
+        teacher_p = self.state.teacher_params
+        teacher_bs = self.state.teacher_batch_stats
+        tx = self.tx
+        import optax
+
+        from ..audio.features import log_mel_spectrogram
+
+        def forward_pieces(params, batch_stats, batch, rng, train):
+            variables = {"params": params, "batch_stats": batch_stats}
+            mel, mel_lens = log_mel_spectrogram(
+                batch["audio"], batch["audio_len"], step_cfg.frontend,
+                training=False,
+            )
+            (f, enc_lens), mut = model.apply(
+                variables, mel, mel_lens, train, method="encode",
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            g, _ = model.apply(
+                variables, batch["tokens"], True, None, False,
+                method="predict",
+            )
+            f_proj, g_proj = model.apply(variables, f, g,
+                                         method="joint_project")
+            ctc_lp = model.apply(variables, f, batch["lang_ids"],
+                                 method="ctc_logprobs")
+            hw = jnp.take(params["joint"]["head_kernel"],
+                          batch["lang_ids"], axis=0)
+            hb = jnp.take(params["joint"]["head_bias"],
+                          batch["lang_ids"], axis=0)
+            return f_proj, g_proj, ctc_lp, hw, hb, f, enc_lens, mut
+
+        def lwf_step(state: TrainState, batch, rng):
+            k_task, k_kd = jax.random.split(rng)
+
+            def loss_fn(params):
+                task_loss, (aux, new_bs) = hybrid_forward_loss(
+                    model, model_cfg, step_cfg, params, state.batch_stats,
+                    batch["audio"], batch["audio_len"], batch["tokens"],
+                    batch["token_len"], batch["lang_ids"], k_task,
+                    train=True,
+                )
+                fs, gs, ctc_s, hws, hbs, _, _, _ = forward_pieces(
+                    params, state.batch_stats, batch, k_kd, True
+                )
+                ft, gt, ctc_t, hwt, hbt, _, _, _ = forward_pieces(
+                    teacher_p, teacher_bs, batch, k_kd, False
+                )
+                ctc_kd = L.ctc_kd_loss(ctc_s, ctc_t)
+                rnnt_kd = L.joint_kd_chunked(
+                    fs, gs, ft, gt, hws, hbs, hwt, hbt,
+                    activation=jcfg.activation,
+                    chunk_size=step_cfg.rnnt_chunk_size,
+                    faithful_raw_logits=lcfg.faithful_raw_logits,
+                )
+                kd = lcfg.knowledge_distillation
+                ctx = lcfg.knowledge_distillation_ctx
+                loss = (1 - kd) * task_loss + kd * (
+                    (1 - ctx) * rnnt_kd + ctx * ctc_kd
+                )
+                aux = dict(
+                    aux, train_loss=loss, rnnt_kd=rnnt_kd, ctc_kd=ctc_kd
+                )
+                return loss, (aux, new_bs)
+
+            (loss, (aux, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    step=state.step + 1, params=new_params,
+                    batch_stats=new_bs, opt_state=new_opt,
+                ),
+                aux,
+            )
+
+        return jax.jit(lwf_step)
+
+    def end_task(self, state: TrainState, acc, n_batches, total_utterances):
+        self.state = L.end_task(state.params, state.batch_stats)

@@ -1,0 +1,245 @@
+"""Shared wiring for the experiment drivers (scripts/cl_*.py, finetune.py).
+
+Replaces the duplicated setup blocks of the reference drivers
+(cl_baseline*.py:70-140): config + CLI overrides, data, tokenizer, model,
+optimizer, logger. Data comes from (in priority order):
+  1. --dataset.manifest_dir: per-language JSONL manifests
+     ({lang}_{train|val|test|noisy_val|noisy_test}.jsonl)
+  2. --dataset.annotation_path: the reference's pickled annotation dict
+     (dataset_gen.ipynb layout) + --dataset.path root
+  3. --synthetic true: generated tiny wav dataset (smoke runs, no data
+     download needed)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from indic_cl_asr_tpu.audio.features import FrontendConfig
+from indic_cl_asr_tpu.audio.spec_augment import SpecAugmentConfig
+from indic_cl_asr_tpu.data.manifest import (
+    entries_from_annotation,
+    load_annotation,
+    read_manifest,
+)
+from indic_cl_asr_tpu.data.pipeline import BucketSpec
+from indic_cl_asr_tpu.data.tokenizer import (
+    CharTokenizer,
+    MultilingualTokenizer,
+)
+from indic_cl_asr_tpu.models.conformer import ConformerConfig
+from indic_cl_asr_tpu.models.hybrid import (
+    HybridModelConfig,
+    HybridRNNTCTC,
+    init_model,
+)
+from indic_cl_asr_tpu.train.driver import (
+    LANGUAGES,
+    DriverConfig,
+    TaskData,
+)
+from indic_cl_asr_tpu.train.logger import Logger
+from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
+from indic_cl_asr_tpu.train.step import StepConfig, make_train_step
+from indic_cl_asr_tpu.utils.checkpoint import SequenceCheckpointer
+from indic_cl_asr_tpu.utils.config import load_config, override_config_with_args
+from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
+
+DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "config.yaml")
+
+
+def setup(argv=None, config_path: str | None = None, notes_default: str = ""):
+    cfg = load_config(config_path or DEFAULT_CONFIG)
+    cfg, ns = override_config_with_args(
+        cfg, argv=argv,
+        extra_args={"notes": {"type": str, "default": notes_default}},
+    )
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_ccache"),
+    )
+    return cfg, ns
+
+
+def build_languages(cfg) -> list[str]:
+    return list(cfg.get("languages", LANGUAGES[: cfg.n_langs]))
+
+
+def build_data(cfg, languages) -> dict[str, TaskData]:
+    ds = cfg.dataset
+    out: dict[str, TaskData] = {}
+    if ds.get("manifest_dir"):
+        for lang in languages:
+            def rd(split):
+                return read_manifest(
+                    os.path.join(ds.manifest_dir, f"{lang}_{split}.jsonl")
+                )
+
+            out[lang] = TaskData(
+                train=rd("train")[: ds.get("train_size") or None],
+                val_clean=rd("val"), val_noisy=rd("noisy_val"),
+                test_clean=rd("test"), test_noisy=rd("noisy_test"),
+            )
+        return out
+    if ds.get("annotation_path"):
+        ann = load_annotation(ds.annotation_path)
+        root = ds.get("path", "")
+        for lang in languages:
+            out[lang] = TaskData(
+                train=entries_from_annotation(
+                    ann, "train", lang, root, limit=ds.get("train_size")
+                ),
+                val_clean=entries_from_annotation(ann, "val", lang, root),
+                val_noisy=entries_from_annotation(
+                    ann, "noisy_val", lang, root
+                ),
+                test_clean=entries_from_annotation(ann, "test", lang, root),
+                test_noisy=entries_from_annotation(
+                    ann, "noisy_test", lang, root
+                ),
+            )
+        return out
+    if cfg.get("synthetic"):
+        return build_synthetic_data(cfg, languages)
+    raise ValueError(
+        "configure dataset.manifest_dir, dataset.annotation_path, or "
+        "synthetic: true"
+    )
+
+
+def build_synthetic_data(cfg, languages) -> dict[str, TaskData]:
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tests")
+    )
+    from synth import make_wav_dataset
+
+    root = os.path.join(cfg.output_dir, "synthetic_data")
+    n = int(cfg.get("synthetic_utts", 8))
+    data = make_wav_dataset(root, languages, n_per_lang=n * 3)
+    out = {}
+    for lang in languages:
+        es = data[lang]
+        out[lang] = TaskData(
+            train=es[:n], val_clean=es[n : n + n // 2],
+            val_noisy=es[n + n // 2 : 2 * n], test_clean=es[2 * n :][: n // 2],
+            test_noisy=es[2 * n :][n // 2 :],
+        )
+    return out
+
+
+def build_tokenizer(cfg, languages, task_data) -> MultilingualTokenizer:
+    tok_dir = cfg.get("tokenizer_dir")
+    if tok_dir and os.path.exists(os.path.join(tok_dir, "index.json")):
+        return MultilingualTokenizer.load(tok_dir)
+    # train char tokenizers from the training transcripts, padded to a
+    # common per-language vocab size (the model requires equal slices)
+    toks = {}
+    for lang in languages:
+        corpus = [e.text for e in task_data[lang].train if e.text]
+        toks[lang] = CharTokenizer.train(corpus or ["placeholder"])
+    per = max(t.vocab_size for t in toks.values())
+    for lang, t in toks.items():
+        t.vocab += [f"<pad{i}>" for i in range(per - t.vocab_size)]
+        t._piece_to_id = {p: i for i, p in enumerate(t.vocab)}
+    agg = MultilingualTokenizer(toks)
+    if tok_dir:
+        agg.save(tok_dir)
+    return agg
+
+
+def build_model_cfg(cfg, tokenizer, languages) -> HybridModelConfig:
+    m = cfg.model
+    dtype = jnp.bfloat16 if cfg.get("mixed_precision", True) else jnp.float32
+    enc = ConformerConfig(
+        feat_in=m.get("n_mels", 80),
+        n_layers=m.get("n_layers", 17),
+        d_model=m.get("d_model", 512),
+        n_heads=m.get("n_heads", 8),
+        ff_expansion_factor=m.get("ff_expansion_factor", 4),
+        conv_kernel_size=m.get("conv_kernel_size", 31),
+        subsampling_factor=m.get("subsampling_factor", 4),
+        frozen_till=m.get("freeze_encoder_till", 12),
+        dtype=dtype,
+    )
+    return HybridModelConfig(
+        encoder=enc,
+        vocab_size_total=tokenizer.vocab_size,
+        n_langs=len(languages),
+        pred_hidden=m.get("pred_hidden", 640),
+        joint_hidden=m.get("joint_hidden", 640),
+        ctc_loss_weight=m.get("ctc_loss_weight", 0.5),
+        dtype=dtype,
+    )
+
+
+def build_all(cfg, ns):
+    languages = build_languages(cfg)
+    task_data = build_data(cfg, languages)
+    tokenizer = build_tokenizer(cfg, languages, task_data)
+    model_cfg = build_model_cfg(cfg, tokenizer, languages)
+    model, variables = init_model(model_cfg, jax.random.PRNGKey(cfg.seed))
+
+    if cfg.get("init_checkpoint"):
+        from indic_cl_asr_tpu.utils.checkpoint import load_pytree
+
+        variables = load_pytree(cfg.init_checkpoint, like=variables)
+
+    mask = conformer_freeze_mask(
+        variables["params"], cfg.model.freeze_encoder_till
+    )
+    tx = make_optimizer(lr=cfg.lr, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+
+    b = cfg.get("buckets", {})
+    bucket_spec = BucketSpec(
+        boundaries_sec=tuple(b.get("boundaries_sec", (4.0, 8.0, 12.0, 16.7))),
+        max_tokens=tuple(b.get("max_tokens", (64, 128, 192, 256))),
+    )
+    step_cfg = StepConfig(
+        frontend=FrontendConfig(n_mels=model_cfg.encoder.feat_in),
+        spec_augment=SpecAugmentConfig(),
+        ctc_loss_weight=model_cfg.ctc_loss_weight,
+        rnnt_chunk_size=cfg.get("rnnt_chunk_size", 64),
+        use_spec_augment=cfg.get("use_spec_augment", True),
+    )
+
+    def base_step_builder(penalty_fn):
+        return make_train_step(model, model_cfg, step_cfg, tx, penalty_fn)
+
+    logger = Logger(
+        cfg.output_dir,
+        use_wandb=cfg.get("use_wandb", True),
+        wandb_kwargs={"notes": ns.notes, "config": cfg.to_dict()},
+    )
+    logger.log({"config": cfg.to_dict(), "notes": ns.notes})
+
+    driver_cfg = DriverConfig(
+        batch_size=cfg.batch_size,
+        epochs=cfg.epochs,
+        seed=cfg.seed,
+        n_langs=cfg.n_langs,
+        save_weights=cfg.get("save_weights", True),
+        output_dir=cfg.output_dir,
+        evaluate_every_n_epochs=cfg.cl_config.get(
+            "evaluate_every_n_epochs", 0
+        ),
+        bucket_spec=bucket_spec,
+    )
+    checkpointer = (
+        SequenceCheckpointer(os.path.join(logger.dir, "sequence"))
+        if cfg.get("resume_dir") is None
+        else SequenceCheckpointer(cfg.resume_dir)
+    )
+    return dict(
+        cfg=cfg, languages=languages, task_data=task_data,
+        tokenizer=tokenizer, model_cfg=model_cfg, model=model, state=state,
+        mask=mask, tx=tx, step_cfg=step_cfg,
+        base_step_builder=base_step_builder, logger=logger,
+        driver_cfg=driver_cfg, checkpointer=checkpointer,
+    )
