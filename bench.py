@@ -1,0 +1,99 @@
+"""Benchmark: flagship hybrid-model training throughput on one chip.
+
+Measures the north-star metric (BASELINE.md): train utterances/sec/chip on
+the ~120M-param 17-layer Conformer hybrid RNNT+CTC at the reference's
+working point — batch 16, 8s utterances, encoder frozen below layer 12,
+SpecAugment on, fused RNNT + CTC loss, AdamW (reference: config.yaml,
+sbatch.sh 1x GPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput number (SURVEY.md §6).
+We anchor against an ESTIMATED 20 utts/sec for the reference stack on one
+A100 (NeMo conformer-large hybrid, fused_batch_size 4, per-batch greedy
+WER inside training_step — the always-on decode alone caps it well below
+raw fwd/bwd speed). Replace with a measured number when the reference can
+be run; the estimate is recorded here so the ratio is auditable.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_A100_UTTS_PER_SEC_ESTIMATE = 20.0
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from indic_cl_asr_tpu.models.hybrid import flagship_config, init_model
+    from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
+    from indic_cl_asr_tpu.train.step import StepConfig, make_train_step
+    from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
+
+    cfg = flagship_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    mask = conformer_freeze_mask(variables["params"], 12)
+    tx = make_optimizer(lr=1e-4, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    step_cfg = StepConfig()
+    step = jax.jit(
+        make_train_step(model, cfg, step_cfg, tx), donate_argnums=0
+    )
+
+    B, SECS, U = 16, 8, 48
+    S = 16000 * SECS
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(0.1 * rng.standard_normal((B, S)), jnp.float32),
+        "audio_len": jnp.full((B,), S, jnp.int32),
+        "tokens": jnp.asarray(
+            rng.integers(1, cfg.vocab_per_lang, (B, U)), jnp.int32
+        ),
+        "token_len": jnp.full((B,), U, jnp.int32),
+        "lang_ids": jnp.zeros((B,), jnp.int32),
+    }
+
+    # warmup (first program in a fresh TPU process can take minutes on the
+    # tunneled backend) + compile
+    state, aux = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(aux)
+    state, aux = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(aux)
+
+    n_iters = 30
+    t0 = time.time()
+    for i in range(n_iters):
+        state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(aux)
+    dt = (time.time() - t0) / n_iters
+
+    utts_per_sec = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_utts_per_sec_per_chip",
+                "value": round(utts_per_sec, 2),
+                "unit": "utts/s (B=16, 8s utts, 124.6M-param hybrid)",
+                "vs_baseline": round(
+                    utts_per_sec / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2
+                ),
+            }
+        )
+    )
+    print(
+        f"# step {dt * 1000:.1f} ms | audio-sec/sec "
+        f"{B * SECS / dt:.0f} | loss {float(aux['train_loss']):.2f} | "
+        f"backend {jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
