@@ -95,15 +95,36 @@ def _assemble(
     token_len = np.zeros((B,), np.int32)
     lang_ids = np.zeros((B,), np.int32)
 
-    if io_pool is not None:
+    # native C++ batch decode fast path (one call, threaded, zero-copy into
+    # the batch buffer) when every file is a WAV and the lib is built
+    wavs = None
+    if loader is load_audio and all(
+        e.audio_filepath.lower().endswith(".wav") for e in entries
+    ):
+        from ..utils.native import load_wav_batch_native
+
+        native = load_wav_batch_native(
+            [e.audio_filepath for e in entries], S
+        )
+        if native is not None and (native[1] >= 0).all():
+            audio, native_lens = native
+            audio_len[:] = native_lens.astype(np.int32)
+        else:
+            native = None
+        if native is None:
+            wavs = [loader(e.audio_filepath) for e in entries]
+    elif io_pool is not None:
         wavs = list(io_pool.map(loader, [e.audio_filepath for e in entries]))
     else:
         wavs = [loader(e.audio_filepath) for e in entries]
 
-    for i, (e, wav) in enumerate(zip(entries, wavs)):
-        n = min(len(wav), S)
-        audio[i, :n] = wav[:n]
-        audio_len[i] = n
+    for i, (e, wav) in enumerate(
+        zip(entries, wavs if wavs is not None else [None] * B)
+    ):
+        if wav is not None:
+            n = min(len(wav), S)
+            audio[i, :n] = wav[:n]
+            audio_len[i] = n
         ids = tokenizer.text_to_ids(e.text, e.lang) if e.text else []
         ids = ids[:U]
         tokens[i, : len(ids)] = ids

@@ -21,15 +21,12 @@ import numpy as np
 
 
 def edit_distance(a: list, b: list) -> int:
-    """Levenshtein distance between two token sequences."""
-    try:
-        from ..utils.native import edit_distance_native
+    """Levenshtein distance between two token sequences (native C++ fast
+    path when native/libindic_native.so builds; exact-equal fallback)."""
+    from ..utils.native import edit_distance_native
 
-        if edit_distance_native is not None:
-            return edit_distance_native(a, b)
-    except ImportError:
-        pass
-    return edit_distance_py(a, b)
+    d = edit_distance_native(a, b)
+    return d if d is not None else edit_distance_py(a, b)
 
 
 def edit_distance_py(a: list, b: list) -> int:
