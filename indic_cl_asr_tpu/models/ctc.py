@@ -71,32 +71,41 @@ class CTCDecoder(nn.Module):
             ).astype(jnp.float32)
         else:
             V = cfg.vocab_per_lang
-            # language slice + shared blank (last column)
+            B = lang_ids.shape[0]
+            # language slice + shared blank (last column). The per-sample
+            # weight selection is a one-hot matmul over the language axis —
+            # MXU-friendly, no strided gather/transpose in the hot path.
             w_langs = kernel[:, : cfg.vocab_size_total].reshape(
                 cfg.feat_in, cfg.n_langs, V
             )
             b_langs = bias[: cfg.vocab_size_total].reshape(cfg.n_langs, V)
+            onehot = jax.nn.one_hot(lang_ids, cfg.n_langs, dtype=cfg.dtype)
+            w = jnp.einsum(
+                "dlv,bl->bdv", w_langs.astype(cfg.dtype), onehot,
+                preferred_element_type=cfg.dtype,
+            )  # [B, d, V]
             w = jnp.concatenate(
                 [
-                    jnp.take(w_langs, lang_ids, axis=1).transpose(1, 0, 2),
+                    w,
                     jnp.broadcast_to(
-                        kernel[:, -1:][None],
-                        (lang_ids.shape[0], cfg.feat_in, 1),
+                        kernel[:, -1:].astype(cfg.dtype)[None],
+                        (B, cfg.feat_in, 1),
                     ),
                 ],
                 axis=-1,
             )  # [B, d, V+1]
             b = jnp.concatenate(
                 [
-                    jnp.take(b_langs, lang_ids, axis=0),
-                    jnp.broadcast_to(bias[-1:][None], (lang_ids.shape[0], 1)),
+                    onehot @ b_langs.astype(cfg.dtype),
+                    jnp.broadcast_to(bias[-1:].astype(cfg.dtype)[None],
+                                     (B, 1)),
                 ],
                 axis=-1,
             )  # [B, V+1]
             logits = jnp.einsum(
                 "btd,bdv->btv",
                 encoded.astype(cfg.dtype),
-                w.astype(cfg.dtype),
+                w,
                 preferred_element_type=jnp.float32,
             ) + b[:, None, :]
 

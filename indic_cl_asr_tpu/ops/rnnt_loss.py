@@ -75,6 +75,17 @@ def _prepare(lp_blank, lp_label, t_lens, u_lens):
     return lpb, lpl, t_valid, label_valid
 
 
+# lattice backend: "scan" (portable), "pallas" (TPU), or None = auto
+# (pallas on TPU backends, scan elsewhere)
+LATTICE_IMPL: str | None = None
+
+
+def _use_pallas() -> bool:
+    if LATTICE_IMPL is not None:
+        return LATTICE_IMPL == "pallas"
+    return jax.default_backend() == "tpu"
+
+
 def _shift_right(x, fill=NEG_INF):
     return jnp.concatenate(
         [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]], axis=-1
@@ -85,6 +96,36 @@ def _shift_left(x, fill=NEG_INF):
     return jnp.concatenate(
         [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)], axis=-1
     )
+
+
+def _alpha(lpb, lpl):
+    """Forward lattice — Pallas kernel on TPU, lax.scan elsewhere."""
+    B, T, U1 = lpb.shape
+    if _use_pallas():
+        from .rnnt_loss_pallas import alpha_diagonals_pallas
+
+        lpb_d = _to_diagonals(lpb, NEG_INF)
+        lpl_d = _to_diagonals(lpl, NEG_INF)
+        alpha_d = alpha_diagonals_pallas(lpb_d, lpl_d)
+        return _from_diagonals(alpha_d, T)
+    return _alpha_scan(lpb, lpl)
+
+
+def _beta(lpb, lpl, u_lens):
+    """Backward lattice (extended with the exit row) — Pallas on TPU."""
+    B, T, U1 = lpb.shape
+    if _use_pallas():
+        from .rnnt_loss_pallas import beta_diagonals_pallas
+
+        pad_row = jnp.full((B, 1, U1), NEG_INF, lpb.dtype)
+        lpb_e = jnp.concatenate([lpb, pad_row], axis=1)
+        lpl_e = jnp.concatenate([lpl, pad_row], axis=1)
+        beta_d = beta_diagonals_pallas(
+            _to_diagonals(lpb_e, NEG_INF), _to_diagonals(lpl_e, NEG_INF),
+            u_lens, T,
+        )
+        return _from_diagonals(beta_d, T + 1)
+    return _beta_scan(lpb, lpl, u_lens)
 
 
 def _alpha_scan(lpb, lpl):
@@ -170,7 +211,7 @@ def rnnt_nll_from_logprobs(lp_blank, lp_label, t_lens, u_lens):
 
 def _forward(lp_blank, lp_label, t_lens, u_lens):
     lpb, lpl, _, _ = _prepare(lp_blank, lp_label, t_lens, u_lens)
-    alpha = _alpha_scan(lpb, lpl)
+    alpha = _alpha(lpb, lpl)
     # corner: padded frames contribute free blanks, so row T-1 is exact
     alpha_final = jnp.take_along_axis(
         alpha[:, -1, :], u_lens[:, None], axis=1
@@ -192,7 +233,7 @@ def _bwd(res, g):
         lp_blank, lp_label, t_lens, u_lens
     )
     B, T, U1 = lpb.shape
-    beta_ext = _beta_scan(lpb, lpl, u_lens)  # [B, T+1, U1], row T = exit
+    beta_ext = _beta(lpb, lpl, u_lens)  # [B, T+1, U1], row T = exit
     logZ = -nll  # == beta_ext[:, 0, 0]
 
     beta_tnext = beta_ext[:, 1:]  # beta[t+1, u] incl. virtual exit row

@@ -1,0 +1,112 @@
+"""Script-level smoke tests: dataset_gen over a synthetic raw tree,
+tokenizer training, and the EWC/MAS/LwF drivers end-to-end (tiny models,
+synthetic data)."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+sys.path.insert(0, SCRIPTS)
+
+from indic_cl_asr_tpu.audio.io import write_wav
+
+
+def make_raw_tree(root, langs, n_train=12, n_test=6, n_noisy=10):
+    rng = np.random.default_rng(0)
+    for lang in langs:
+        dirs = {
+            "train": f"train_audio/kb_data_clean_m4a/{lang}/train/audio",
+            "test": f"testkn_audio/kb_data_clean_m4a/{lang}/test_known/audio",
+            "noisy": (
+                f"noisy/testkn_audio/kb_data_noisy_m4a/{lang}/"
+                "test_known/audio"
+            ),
+        }
+        counts = {"train": n_train, "test": n_test, "noisy": n_noisy}
+        names = {}
+        for key, d in dirs.items():
+            full = os.path.join(root, d)
+            os.makedirs(full, exist_ok=True)
+            names[key] = []
+            for i in range(counts[key]):
+                name = f"{lang}_{key}_{i}.wav"
+                write_wav(
+                    os.path.join(full, name),
+                    0.1 * rng.standard_normal(1600), 16000,
+                )
+                names[key].append(name)
+        trs = {
+            f"transcripts_n2w/kb_data_clean_m4a/{lang}/train": names["train"],
+            f"transcripts_n2w/kb_data_clean_m4a/{lang}/test_known":
+                names["test"],
+            f"noisy/kb_data_noisy_m4a/{lang}/test_known": names["noisy"],
+        }
+        for d, files in trs.items():
+            full = os.path.join(root, d)
+            os.makedirs(full, exist_ok=True)
+            with open(os.path.join(full, "transcription_n2w.txt"), "w") as f:
+                for n in files:
+                    f.write(f"{n}\tnamaste duniya {n[-5]}\n")
+
+
+def test_dataset_gen_and_tokenizer(tmp_path):
+    import dataset_gen
+    import train_tokenizer
+
+    root = str(tmp_path / "raw")
+    langs = ["hindi", "tamil"]
+    make_raw_tree(root, langs)
+    out_pkl = str(tmp_path / "dataset.pkl")
+    mdir = str(tmp_path / "manifests")
+    ann = dataset_gen.main(
+        ["--root", root, "--out", out_pkl, "--manifest_dir", mdir,
+         "--languages", *langs]
+    )
+    assert set(ann) == {"train", "val", "test", "noisy_val", "noisy_test"}
+    # with 12 clean-train and 10 noisy: train = 12 clean (<6200) + 10 noisy
+    assert len(ann["train"]["hindi"]["audio"]) == 22
+    assert len(ann["test"]["hindi"]["audio"]) == 6
+    with open(out_pkl, "rb") as f:
+        assert pickle.load(f)["train"]["tamil"]["transcript"]
+    assert os.path.exists(os.path.join(mdir, "hindi_train.jsonl"))
+
+    agg = train_tokenizer.main(
+        ["--manifest_dir", mdir, "--out", str(tmp_path / "tok"),
+         "--vocab_size", "48", "--languages", *langs]
+    )
+    assert agg.vocab_size == 48 * 2
+    ids = agg.text_to_ids("namaste duniya", "hindi")
+    assert agg.ids_to_text(ids, "hindi") == "namaste duniya"
+
+
+DRIVER_ARGS = [
+    "--synthetic", "true", "--n_langs", "2", "--epochs", "1",
+    "--batch_size", "4", "--use_wandb", "false", "--synthetic_utts", "4",
+    "--model.n_layers", "1", "--model.d_model", "32", "--model.n_heads", "2",
+    "--model.n_mels", "32", "--model.pred_hidden", "16",
+    "--model.joint_hidden", "16", "--model.freeze_encoder_till", "0",
+    "--mixed_precision", "false", "--rnnt_chunk_size", "8",
+    "--buckets.boundaries_sec", "2.0", "--buckets.max_tokens", "64",
+]
+
+
+@pytest.mark.parametrize("driver", ["cl_ewc", "cl_mas", "cl_lwf"])
+def test_cl_drivers_end_to_end(tmp_path, driver):
+    mod = __import__(driver)
+    res = mod.main(
+        DRIVER_ARGS + ["--output_dir", str(tmp_path / driver), "--notes", "t"]
+    )
+    val = res["val"]
+    langs = list(val.keys())
+    assert len(val[langs[0]]) == 2  # evaluated after both tasks
+    assert len(val[langs[1]]) == 1
+    for recs in val.values():
+        for r in recs:
+            assert set(r) >= {"rnnt_wer", "ctc_wer", "rnnt_avg_wer"}
+            assert all(np.isfinite(v) for v in r.values())
