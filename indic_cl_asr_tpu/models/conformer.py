@@ -62,6 +62,10 @@ class ConformerConfig:
     xscale: bool = True
     pos_emb_max_len: int = 5000
     frozen_till: int = 0  # layers [0, frozen_till) carry no gradient
+    # (left, right) attention context in frames; -1 = unlimited. The
+    # reference's `att_context_size` limited/streaming-style option
+    # (conformer_encoder.py att_context_size, default [-1, -1]).
+    att_context_size: tuple[int, int] = (-1, -1)
     dtype: Any = jnp.float32  # compute dtype
 
     @property
@@ -312,6 +316,19 @@ class ConformerEncoder(nn.Module):
             < out_lens[:, None]
         )  # True = valid
         att_mask = pad_mask[:, :, None] & pad_mask[:, None, :]
+        left, right = cfg.att_context_size
+        if left >= 0 or right >= 0:
+            # banded (limited-context) attention — reference
+            # conformer_encoder.py's att_context_size semantics
+            q_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
+            rel = k_idx - q_idx
+            band = jnp.ones((1, T, T), bool)
+            if left >= 0:
+                band = band & (rel >= -left)
+            if right >= 0:
+                band = band & (rel <= right)
+            att_mask = att_mask & band
 
         for i in range(cfg.n_layers):
             x = ConformerLayer(cfg, name=f"layers_{i}")(
