@@ -75,15 +75,15 @@ def _prepare(lp_blank, lp_label, t_lens, u_lens):
     return lpb, lpl, t_valid, label_valid
 
 
-# lattice backend: "scan" (portable), "pallas" (TPU), or None = auto
-# (pallas on TPU backends, scan elsewhere)
+# lattice backend: "scan" (default) or "pallas". Measured on v5e
+# (B16 T204 U49, fwd+bwd): scan 2.05 ms, pallas 2.27 ms — the cost is the
+# diagonal-slab HBM traffic, not scan dispatch, so the portable scan stays
+# default; the kernels remain available and hardware-validated.
 LATTICE_IMPL: str | None = None
 
 
 def _use_pallas() -> bool:
-    if LATTICE_IMPL is not None:
-        return LATTICE_IMPL == "pallas"
-    return jax.default_backend() == "tpu"
+    return LATTICE_IMPL == "pallas"
 
 
 def _shift_right(x, fill=NEG_INF):

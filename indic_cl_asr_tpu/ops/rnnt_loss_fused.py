@@ -79,12 +79,33 @@ def rnnt_loss_fused(
     chunk_size: int = 64,
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
+    impl: str = "xla",  # "xla" | "pallas" (fused joint kernel, relu only)
 ):
     B, T, H = f_proj.shape
     U1 = g_proj.shape[1]
     labels_pad = jnp.concatenate(
         [labels, jnp.zeros((B, 1), labels.dtype)], axis=1
     )
+
+    if impl in ("pallas", "pallas_interpret") and activation == "relu":
+        from .joint_fused_pallas import joint_slabs_pallas
+
+        if dropout_rng is not None and dropout_rate > 0.0:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        lp_blank, lp_label = joint_slabs_pallas(
+            f_proj, g_proj, head_w, head_b, labels_pad, seed,
+            blank, chunk_size, dropout_rate,
+            impl == "pallas_interpret",
+        )
+        nll = rnnt_nll_from_logprobs(
+            lp_blank, lp_label, frame_lens.astype(jnp.int32),
+            label_lens.astype(jnp.int32),
+        )
+        return _reduce(nll, label_lens, reduction)
 
     n_chunks = -(-T // chunk_size)
     T_pad = n_chunks * chunk_size

@@ -145,6 +145,33 @@ class Transcriber:
                         )
         return hyps
 
+    def transcribe_files(
+        self,
+        variables,
+        audio_paths: Sequence[str],
+        language: str,
+        decoder: str = "rnnt",
+    ) -> list[str]:
+        """Path-level API mirroring the reference's
+        `model.transcribe(audio, batch_size, language_id)`
+        (hybrid_rnnt_ctc_models.py:262-346). Durations are read from the
+        WAV headers for bucketing."""
+        import wave
+
+        entries = []
+        for p in audio_paths:
+            try:
+                with wave.open(p, "rb") as w:
+                    dur = w.getnframes() / w.getframerate()
+            except Exception:
+                dur = 0.0
+            entries.append(
+                ManifestEntry(
+                    audio_filepath=p, duration=dur, text="", lang=language
+                )
+            )
+        return self.transcribe(variables, entries, decoder)
+
     def compute_wer(
         self,
         variables,

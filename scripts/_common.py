@@ -60,10 +60,13 @@ def setup(argv=None, config_path: str | None = None, notes_default: str = ""):
         cfg, argv=argv,
         extra_args={"notes": {"type": str, "default": notes_default}},
     )
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_ccache"),
-    )
+    # persistent compilation cache only when explicitly requested — cached
+    # artifacts have faulted on reload through the TPU tunnel
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
     return cfg, ns
 
 

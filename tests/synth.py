@@ -20,11 +20,13 @@ WORDS = {
 }
 
 
-def make_texts(lang: str, n: int, seed: int = 0) -> list[str]:
+def make_texts(
+    lang: str, n: int, seed: int = 0, max_words: int = 5
+) -> list[str]:
     rng = np.random.default_rng(seed + hash(lang) % 1000)
     words = WORDS.get(lang, WORDS["hindi"])
     return [
-        " ".join(rng.choice(words, size=rng.integers(2, 6)))
+        " ".join(rng.choice(words, size=rng.integers(2, max_words + 1)))
         for _ in range(n)
     ]
 
@@ -40,16 +42,23 @@ def make_tokenizer(langs, kind="char", vocab_size=64):
     return MultilingualTokenizer(toks)
 
 
-def make_wav_dataset(root, langs, n_per_lang=6, sr=16000, seed=0):
-    """Writes wavs + per-lang manifest entries; returns {lang: [entries]}."""
+def make_wav_dataset(
+    root, langs, n_per_lang=6, sr=16000, seed=0,
+    min_dur=0.3, max_dur=1.2, max_words=5,
+):
+    """Writes wavs + per-lang manifest entries; returns {lang: [entries]}.
+
+    Note: CTC needs encoder frames >= tokens; with char tokenizers that
+    means roughly dur_sec * 25 >= len(text). Pass min_dur/max_words
+    accordingly for CTC-trainability tests."""
     rng = np.random.default_rng(seed)
     out = {}
     os.makedirs(root, exist_ok=True)
     for lang in langs:
         entries = []
-        texts = make_texts(lang, n_per_lang, seed)
+        texts = make_texts(lang, n_per_lang, seed, max_words=max_words)
         for i, text in enumerate(texts):
-            dur = float(rng.uniform(0.3, 1.2))
+            dur = float(rng.uniform(min_dur, max_dur))
             n = int(dur * sr)
             wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
             path = os.path.join(root, f"{lang}_{i}.wav")
