@@ -48,6 +48,7 @@ class Transcriber:
     bucket_spec: BucketSpec | None = None
     max_symbols: int = 10
     max_out: int = 256
+    beam_size: int = 4
 
     def __post_init__(self):
         assert self.frontend.n_mels == self.model_cfg.encoder.feat_in, (
@@ -92,8 +93,24 @@ class Transcriber:
                 max_out=self.max_out,
             )
 
+        def ctc_logprob_fn(variables, audio, audio_lens, lang_ids):
+            f, enc_lens = encode(variables, audio, audio_lens)
+            return (
+                model.apply(variables, f, lang_ids, method="ctc_logprobs"),
+                enc_lens,
+            )
+
+        def enc_proj_fn(variables, audio, audio_lens):
+            f, enc_lens = encode(variables, audio, audio_lens)
+            return (
+                model.apply(variables, f, method="joint_project_enc"),
+                enc_lens,
+            )
+
         self._ctc_fn = jax.jit(ctc_fn)
         self._rnnt_fn = jax.jit(rnnt_fn)
+        self._ctc_logprob_fn = jax.jit(ctc_logprob_fn)
+        self._enc_proj_fn = jax.jit(enc_proj_fn)
 
     def transcribe(
         self,
@@ -106,10 +123,10 @@ class Transcriber:
 
         from ..data.pipeline import _assemble
 
-        assert decoder in ("rnnt", "ctc")
+        assert decoder in ("rnnt", "ctc", "rnnt_beam", "ctc_beam")
         spec = self.bucket_spec or BucketSpec()
         lang_index = {l: i for i, l in enumerate(self.languages)}
-        fn = self._rnnt_fn if decoder == "rnnt" else self._ctc_fn
+        fn = {"rnnt": self._rnnt_fn, "ctc": self._ctc_fn}.get(decoder)
 
         by_bucket: dict[int, list[int]] = {}
         for i, e in enumerate(entries):
@@ -130,18 +147,69 @@ class Transcriber:
                         [entries[j] for j in padded], n_real, bucket, spec,
                         self.tokenizer, lang_index, 0, load_audio, io_pool,
                     )
-                    ids, lens = fn(
-                        variables,
-                        jnp.asarray(batch.audio),
-                        jnp.asarray(batch.audio_len),
-                        jnp.asarray(batch.lang_ids),
-                    )
-                    ids = np.asarray(ids)
-                    lens = np.asarray(lens)
+                    if decoder in ("rnnt", "ctc"):
+                        ids, lens = fn(
+                            variables,
+                            jnp.asarray(batch.audio),
+                            jnp.asarray(batch.audio_len),
+                            jnp.asarray(batch.lang_ids),
+                        )
+                        ids = np.asarray(ids)
+                        lens = np.asarray(lens)
+                        rows = [
+                            ids[r, : lens[r]].tolist() for r in range(n_real)
+                        ]
+                    elif decoder == "ctc_beam":
+                        from ..ops.beam_search import ctc_prefix_beam_search
+
+                        lp, enc_lens = self._ctc_logprob_fn(
+                            variables, jnp.asarray(batch.audio),
+                            jnp.asarray(batch.audio_len),
+                            jnp.asarray(batch.lang_ids),
+                        )
+                        lp = np.asarray(lp)
+                        enc_lens = np.asarray(enc_lens)
+                        rows = [
+                            ctc_prefix_beam_search(
+                                lp[r], int(enc_lens[r]),
+                                self.model_cfg.blank_local,
+                                beam_size=self.beam_size,
+                            )
+                            for r in range(n_real)
+                        ]
+                    else:  # rnnt_beam
+                        from ..ops.beam_search import rnnt_beam_search
+
+                        f_proj, enc_lens = self._enc_proj_fn(
+                            variables, jnp.asarray(batch.audio),
+                            jnp.asarray(batch.audio_len),
+                        )
+                        f_proj = np.asarray(f_proj)
+                        enc_lens = np.asarray(enc_lens)
+
+                        def pred_step(label, state):
+                            return self.model.apply(
+                                variables, label, state, method="pred_step"
+                            )
+
+                        def joint_step(f_t, g_t, li):
+                            return self.model.apply(
+                                variables, f_t, g_t, li, method="joint_step"
+                            )
+
+                        rows = [
+                            rnnt_beam_search(
+                                f_proj[r], int(enc_lens[r]),
+                                int(batch.lang_ids[r]), pred_step, joint_step,
+                                blank=self.model_cfg.blank_local,
+                                beam_size=self.beam_size,
+                                max_expansions=self.max_symbols,
+                            )
+                            for r in range(n_real)
+                        ]
                     for row in range(n_real):
-                        toks = ids[row, : lens[row]].tolist()
                         hyps[chunk_idx[row]] = self.tokenizer.ids_to_text(
-                            toks, batch.langs[row]
+                            rows[row], batch.langs[row]
                         )
         return hyps
 

@@ -43,12 +43,14 @@ def make_transcriber(tmp_path, langs=("hindi", "tamil"), n=5):
 def test_transcribe_shapes_and_determinism(tmp_path):
     tr, variables, data, langs = make_transcriber(tmp_path)
     entries = data["hindi"]
-    for decoder in ("ctc", "rnnt"):
-        hyps = tr.transcribe(variables, entries, decoder)
-        assert len(hyps) == len(entries)
+    for decoder in ("ctc", "rnnt", "ctc_beam", "rnnt_beam"):
+        # beam decoders are host-side per-sample: keep their slice small
+        subset = entries if decoder in ("ctc", "rnnt") else entries[:2]
+        hyps = tr.transcribe(variables, subset, decoder)
+        assert len(hyps) == len(subset)
         assert all(isinstance(h, str) for h in hyps)
-        hyps2 = tr.transcribe(variables, entries, decoder)
-        assert hyps == hyps2
+        if decoder in ("ctc", "rnnt"):
+            assert hyps == tr.transcribe(variables, subset, decoder)
 
 
 def test_compute_wer_random_model_is_high(tmp_path):
