@@ -46,7 +46,9 @@ def _fwd_kernel(
     lpb_ref, lpl_ref,
     *, blank: int, dropout_rate: float,
 ):
-    # f [1, Tc, H]; g [1, U1, H]; w [1, H, V1]; b [1, V1]; labels [1, U1]
+    # f [1,Tc,H]; g [1,U1,H]; w [1,H,V1]; b [1,1,V1]; labels [1,1,U1]
+    # (b/labels carry a singleton middle dim so their VMEM blocks satisfy
+    # Mosaic's last-two-dims tiling rule)
     _, Tc, H = f_ref.shape
     U1 = g_ref.shape[1]
     V1 = w_ref.shape[2]
@@ -67,7 +69,7 @@ def _fwd_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b_ref[0][None, :]
+        + b_ref[0, 0][None, :]
     ).reshape(Tc, U1, V1)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
@@ -76,7 +78,9 @@ def _fwd_kernel(
     )  # [Tc, U1]
     lpb_ref[0] = logits[:, :, blank] - lse
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, U1, V1), 2)
-    lab_onehot = (v_iota == labels_ref[0][None, :, None]).astype(jnp.float32)
+    lab_onehot = (
+        v_iota == labels_ref[0, 0][None, :, None]
+    ).astype(jnp.float32)
     lpl_ref[0] = jnp.sum(logits * lab_onehot, axis=-1) - lse
 
 
@@ -106,7 +110,7 @@ def _bwd_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b_ref[0][None, :]
+        + b_ref[0, 0][None, :]
     ).reshape(Tc, U1, V1)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -115,7 +119,9 @@ def _bwd_kernel(
     dlpb = dlpb_ref[0].astype(jnp.float32)  # [Tc, U1]
     dlpl = dlpl_ref[0].astype(jnp.float32)
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, U1, V1), 2)
-    lab_onehot = (v_iota == labels_ref[0][None, :, None]).astype(jnp.float32)
+    lab_onehot = (
+        v_iota == labels_ref[0, 0][None, :, None]
+    ).astype(jnp.float32)
     dlogits = (
         dlpb[:, :, None] * (v_iota == blank).astype(jnp.float32)
         + dlpl[:, :, None] * lab_onehot
@@ -142,7 +148,7 @@ def _bwd_kernel(
     def _():
         dg_ref[0] = jnp.zeros_like(dg_ref[0])
         dw_ref[0] = jnp.zeros_like(dw_ref[0])
-        db_ref[0] = jnp.zeros_like(db_ref[0])
+        db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
 
     dg_ref[0] += jnp.sum(d_inp3, axis=0).astype(dg_ref.dtype)
     dw_ref[0] += jax.lax.dot_general(
@@ -150,7 +156,7 @@ def _bwd_kernel(
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dw_ref.dtype)
-    db_ref[0] += jnp.sum(dlogits, axis=0).astype(db_ref.dtype)
+    db_ref[0, 0] += jnp.sum(dlogits, axis=0).astype(db_ref.dtype)
 
 
 def _pad_time(x, Tc):
@@ -202,9 +208,9 @@ def _call_fwd(f_proj, g_proj, head_w, head_b, labels_pad, seed, blank,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, V1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, V1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, U1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -219,7 +225,10 @@ def _call_fwd(f_proj, g_proj, head_w, head_b, labels_pad, seed, blank,
             jax.ShapeDtypeStruct((B, T_pad, U1), jnp.float32),
         ],
         interpret=interpret,
-    )(f_pad, g_proj, head_w, head_b, labels_pad.astype(jnp.int32), seed_arr)
+    )(
+        f_pad, g_proj, head_w, head_b[:, None, :],
+        labels_pad.astype(jnp.int32)[:, None, :], seed_arr,
+    )
     return lpb[:, :T], lpl[:, :T]
 
 
@@ -254,9 +263,9 @@ def _bwd(blank, chunk_size, dropout_rate, interpret, res, cots):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, V1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, V1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, U1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, chunk_size, U1), lambda b, c: (b, c, 0),
@@ -271,21 +280,22 @@ def _bwd(blank, chunk_size, dropout_rate, interpret, res, cots):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, V1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, V1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, nc * chunk_size, H), f_proj.dtype),
             jax.ShapeDtypeStruct((B, U1, H), g_proj.dtype),
             jax.ShapeDtypeStruct((B, H, V1), head_w.dtype),
-            jax.ShapeDtypeStruct((B, V1), head_b.dtype),
+            jax.ShapeDtypeStruct((B, 1, V1), head_b.dtype),
         ],
         interpret=interpret,
     )(
-        f_pad, g_proj, head_w, head_b, labels_pad.astype(jnp.int32),
+        f_pad, g_proj, head_w, head_b[:, None, :],
+        labels_pad.astype(jnp.int32)[:, None, :],
         seed_arr, dlpb_pad, dlpl_pad,
     )
-    return df[:, :T], dg, dw, db, None, None
+    return df[:, :T], dg, dw, db[:, 0, :], None, None
 
 
 joint_slabs_pallas.defvjp(_fwd, _bwd)

@@ -43,6 +43,7 @@ class StepConfig:
     ctc_loss_weight: float = 0.5
     rnnt_chunk_size: int = 64
     use_spec_augment: bool = True
+    rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
 
 
 def hybrid_forward_loss(
@@ -94,6 +95,7 @@ def hybrid_forward_loss(
         chunk_size=step_cfg.rnnt_chunk_size,
         dropout_rate=jcfg.dropout if train else 0.0,
         dropout_rng=k_joint,
+        impl=step_cfg.rnnt_impl,
     )
 
     (ctc_lp), _ = apply("ctc_logprobs", f, lang_ids)
