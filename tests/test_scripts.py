@@ -110,3 +110,17 @@ def test_cl_drivers_end_to_end(tmp_path, driver):
         for r in recs:
             assert set(r) >= {"rnnt_wer", "ctc_wer", "rnnt_avg_wer"}
             assert all(np.isfinite(v) for v in r.values())
+
+
+def test_finetune_driver(tmp_path):
+    import finetune
+
+    res = finetune.main(
+        DRIVER_ARGS + [
+            "--output_dir", str(tmp_path / "ft"), "--notes", "t",
+            "--epochs", "2", "--cl_config.evaluate_every_n_epochs", "1",
+        ]
+    )
+    # finetune_config pins languages to [hindi, tamil]
+    assert set(res["val"].keys()) == {"hindi", "tamil"}
+    assert len(res["val"]["hindi"]) == 2
