@@ -69,11 +69,17 @@ def main():
     state, aux = step(state, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(aux)
 
-    n_iters = 30
+    # Timing notes: steps CHAIN through the donated state, so the final
+    # loss value cannot materialize until every step has executed; syncing
+    # via an actual host read of that value (not block_until_ready, whose
+    # semantics we don't fully trust on the experimental tunneled backend)
+    # makes the measurement robust. n_iters amortizes the one host
+    # round-trip (~70 ms through the tunnel) to <1 ms/step.
+    n_iters = 100
     t0 = time.time()
     for i in range(n_iters):
         state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(aux)
+    final_loss = float(aux["train_loss"])
     dt = (time.time() - t0) / n_iters
 
     utts_per_sec = B / dt
@@ -95,7 +101,7 @@ def main():
         pass
     print(
         f"# step {dt * 1000:.1f} ms | audio-sec/sec "
-        f"{B * SECS / dt:.0f} | loss {float(aux['train_loss']):.2f} | "
+        f"{B * SECS / dt:.0f} | loss {final_loss:.2f} | "
         f"backend {jax.default_backend()}",
         file=sys.stderr,
     )
