@@ -66,6 +66,10 @@ class ConformerConfig:
     # reference's `att_context_size` limited/streaming-style option
     # (conformer_encoder.py att_context_size, default [-1, -1]).
     att_context_size: tuple[int, int] = (-1, -1)
+    # causal depthwise conv (left-only padding) — required for exact
+    # cache-aware streaming (the reference's CausalConv1D option,
+    # conformer_modules.py / SURVEY §5.7 streaming notes)
+    causal_conv: bool = False
     dtype: Any = jnp.float32  # compute dtype
 
     @property
@@ -222,10 +226,15 @@ class ConformerConvModule(nn.Module):
         if pad_mask is not None:
             h = jnp.where(pad_mask[:, :, None], h, 0.0)
         # depthwise conv over time: feature_group_count = channels
+        pad = (
+            (cfg.conv_kernel_size - 1, 0)
+            if cfg.causal_conv
+            else (cfg.conv_kernel_size // 2,) * 2
+        )
         h = nn.Conv(
             features=cfg.d_model,
             kernel_size=(cfg.conv_kernel_size,),
-            padding=((cfg.conv_kernel_size // 2,) * 2,),
+            padding=(pad,),
             feature_group_count=cfg.d_model,
             dtype=cfg.dtype,
             name="depthwise_conv",
