@@ -155,3 +155,44 @@ class TestLwF:
             np.asarray(st.teacher_params["a"]["w"]),
             np.asarray(params["a"]["w"]),
         )
+
+
+class TestLwFFaithfulMode:
+    def test_raw_logit_mode_matches_reference_formula(self, rng):
+        """faithful_raw_logits=True reproduces the reference's GPU behavior:
+        KL computed on RAW joint outputs as if they were log-probs
+        (rnnt.py:1649-1662 skips log_softmax on CUDA; SURVEY.md §3.5)."""
+        B, T, U1, H, V1 = 2, 6, 3, 4, 5
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w_s = jnp.asarray(rng.standard_normal((B, H, V1)) * 0.3, jnp.float32)
+        w_t = jnp.asarray(rng.standard_normal((B, H, V1)) * 0.3, jnp.float32)
+        b = jnp.zeros((B, V1))
+
+        got = float(
+            lwf.joint_kd_chunked(
+                f, g, f, g, w_s, b, w_t, b, chunk_size=3,
+                faithful_raw_logits=True,
+            )
+        )
+        inp = jax.nn.relu(f[:, :, None, :] + g[:, None, :, :])
+        s = jnp.einsum("btuh,bhv->btuv", inp, w_s)
+        t = jnp.einsum("btuh,bhv->btuv", inp, w_t)
+        want = float(jnp.sum(jnp.exp(t) * (t - s)) / B)
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_fixed_mode_differs_from_faithful(self, rng):
+        B, T, U1, H, V1 = 1, 4, 2, 3, 4
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w_s = jnp.asarray(rng.standard_normal((B, H, V1)), jnp.float32)
+        w_t = jnp.asarray(rng.standard_normal((B, H, V1)), jnp.float32)
+        b = jnp.zeros((B, V1))
+        fixed = float(lwf.joint_kd_chunked(f, g, f, g, w_s, b, w_t, b,
+                                           chunk_size=2))
+        faithful = float(
+            lwf.joint_kd_chunked(f, g, f, g, w_s, b, w_t, b, chunk_size=2,
+                                 faithful_raw_logits=True)
+        )
+        assert fixed != pytest.approx(faithful)
+        assert fixed >= -1e-5  # true KL is non-negative
