@@ -146,8 +146,9 @@ class TestRNNTLoss:
         )
 
 
+@pytest.mark.parametrize("impl", ["native", "optax"])
 class TestCTCLoss:
-    def test_matches_numpy_and_torch(self, rng):
+    def test_matches_numpy_and_torch(self, rng, impl):
         B, T, U, V1 = 3, 8, 3, 6  # V1 includes blank (last)
         logits = rng.standard_normal((B, T, V1)).astype(np.float32)
         labels = rng.integers(0, V1 - 1, (B, U)).astype(np.int32)
@@ -158,7 +159,7 @@ class TestCTCLoss:
         got = np.asarray(
             ctc_loss(
                 jnp.asarray(lp), jnp.asarray(t_lens), jnp.asarray(labels),
-                jnp.asarray(u_lens), reduction="none",
+                jnp.asarray(u_lens), reduction="none", impl=impl,
             )
         )
         # numpy oracle
@@ -177,17 +178,60 @@ class TestCTCLoss:
         )
         np.testing.assert_allclose(got, t_loss.numpy(), rtol=1e-4, atol=1e-4)
 
-    def test_mean_batch_reduction(self, rng):
+    def test_mean_batch_reduction(self, rng, impl):
         B, T, U, V1 = 2, 6, 2, 5
         logits = rng.standard_normal((B, T, V1)).astype(np.float32)
         labels = rng.integers(0, V1 - 1, (B, U)).astype(np.int32)
         lens = jnp.array([T, T]), jnp.array([U, U])
         per = ctc_loss(
             jnp.asarray(logits), lens[0], jnp.asarray(labels), lens[1],
-            reduction="none",
+            reduction="none", impl=impl,
         )
         mb = ctc_loss(
             jnp.asarray(logits), lens[0], jnp.asarray(labels), lens[1],
-            reduction="mean_batch",
+            reduction="mean_batch", impl=impl,
         )
         assert float(mb) == pytest.approx(float(jnp.mean(per)), rel=1e-6)
+
+
+class TestCTCNativeGradients:
+    def test_native_grads_match_optax(self, rng):
+        B, T, U, V1 = 3, 8, 3, 6
+        logits = rng.standard_normal((B, T, V1)).astype(np.float32)
+        labels = rng.integers(0, V1 - 1, (B, U)).astype(np.int32)
+        t_lens = jnp.array([8, 6, 5])
+        u_lens = jnp.array([3, 2, 1])
+
+        def loss(impl):
+            def f(x):
+                return ctc_loss(
+                    x, t_lens, jnp.asarray(labels), u_lens,
+                    reduction="sum", impl=impl,
+                )
+            return f
+
+        v_n, g_n = jax.value_and_grad(loss("native"))(jnp.asarray(logits))
+        v_o, g_o = jax.value_and_grad(loss("optax"))(jnp.asarray(logits))
+        np.testing.assert_allclose(float(v_n), float(v_o), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_n), np.asarray(g_o), atol=2e-4, rtol=1e-3
+        )
+
+    def test_native_grads_numerical(self, rng):
+        B, T, U, V1 = 1, 5, 2, 4
+        logits = rng.standard_normal((B, T, V1)).astype(np.float32)
+        labels = rng.integers(0, V1 - 1, (B, U)).astype(np.int32)
+        t_lens, u_lens = jnp.array([5]), jnp.array([2])
+
+        def f(x):
+            return ctc_loss(x, t_lens, jnp.asarray(labels), u_lens,
+                            reduction="sum", impl="native")
+
+        ana = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+        eps = 1e-3
+        for idx in [(0, 0, 0), (0, 2, 3), (0, 4, 1)]:
+            e = np.zeros_like(logits)
+            e[idx] = eps
+            num = (float(f(jnp.asarray(logits + e)))
+                   - float(f(jnp.asarray(logits - e)))) / (2 * eps)
+            np.testing.assert_allclose(ana[idx], num, rtol=3e-2, atol=1e-4)
