@@ -185,7 +185,13 @@ def _bwd(res, g):
     occ = jnp.where(t_iota < t_lens[:, None, None], occ, 0.0)
     occ = jnp.where(valid_s[:, None, :], occ, 0.0)
     onehot = jax.nn.one_hot(ext, V, dtype=occ.dtype)  # [B, S, V]
-    dlp = -jnp.einsum("bts,bsv->btv", occ, onehot)
+    # full-precision scatter (default TPU matmul precision would round the
+    # occupancies through bf16)
+    dlp = -jnp.einsum(
+        "bts,bsv->btv", occ, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     return (dlp * g[:, None, None]).astype(log_probs.dtype), None, None, None, None
 
 
