@@ -146,9 +146,24 @@ class HybridRNNTCTC(nn.Module):
 
     def pred_step(self, last_label, state):
         """One prediction-network step for decoding: [B] labels + state ->
-        (projected g [B, H_joint], new state)."""
+        (projected g [B, H_joint], new state).
+
+        Decode labels are LOCAL ids with blank == cfg.blank_local
+        (= vocab_per_lang); the embedding table is over the AGGREGATE vocab
+        with the zero-pinned pad row at vocab_size_total. Remap the decode
+        blank to that pad row so SOS/blank steps feed a zero embedding,
+        exactly like training's SOS (reference primes with a zero tensor via
+        `decoder.predict(None)`, rnnt_greedy_decoding.py:216-217,780) —
+        feeding raw blank_local would hit another language's real token
+        embedding (ADVICE r1, high).
+        """
+        label = jnp.where(
+            last_label == self.cfg.blank_local,
+            jnp.int32(self.cfg.vocab_size_total),
+            last_label,
+        )
         g, new_state = self.prediction(
-            last_label[:, None], add_sos=False, state=state
+            label[:, None], add_sos=False, state=state
         )
         return self.joint.project_pred(g[:, 0, :]), new_state
 

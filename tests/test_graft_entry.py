@@ -1,10 +1,41 @@
 """Driver-contract tests: __graft_entry__ must compile-check and the
 multichip dryrun must run one fully-sharded train step on the virtual mesh."""
 
+import os
+import subprocess
 import sys
 
 import jax
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_contract_fresh_process():
+    """The driver calls dryrun_multichip in an environment WITHOUT the test
+    harness's device forcing (VERDICT r1 item 1: MULTICHIP_r01 failed because
+    the entry point relied on conftest). Run it in a pristine subprocess —
+    no XLA_FLAGS, no JAX_PLATFORMS — and require success."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.');"
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-2000:]}"
+    assert "dryrun_multichip OK" in r.stdout
 
 
 def test_dryrun_multichip_8():

@@ -146,3 +146,40 @@ def test_full_forward_and_param_count(model_and_vars):
     np.testing.assert_allclose(
         np.exp(np.asarray(ctc)).sum(-1), 1.0, atol=1e-5
     )
+
+
+def test_pred_step_blank_is_zero_embedding_sos(model_and_vars):
+    """Decode-time blank (blank_local) must prime the prediction net with the
+    zero-pinned pad row, matching training's SOS / the reference's
+    `decoder.predict(None)` zero-tensor priming (ADVICE r1 high: feeding raw
+    blank_local would embed another language's real token)."""
+    cfg, model, variables = model_and_vars
+    B = 3
+
+    g_blank, st_blank = model.apply(
+        variables, jnp.full((B,), cfg.blank_local, jnp.int32), None,
+        method="pred_step",
+    )
+    # explicit pad row == blank_local must be identical
+    g_pad, st_pad = model.apply(
+        variables, jnp.full((B,), cfg.vocab_size_total, jnp.int32), None,
+        method="pred_step",
+    )
+    np.testing.assert_allclose(np.asarray(g_blank), np.asarray(g_pad))
+
+    # and must equal the training SOS step: predict([], add_sos=True)
+    g_sos, _ = model.apply(
+        variables, jnp.zeros((B, 0), jnp.int32), True, None, False,
+        method="predict",
+    )
+    g_sos_proj = model.apply(variables, g_sos[:, 0, :],
+                             method="joint_project_pred")
+    np.testing.assert_allclose(
+        np.asarray(g_blank), np.asarray(g_sos_proj), atol=1e-6
+    )
+
+    # a real token must NOT match the zero-input step
+    g_tok, _ = model.apply(
+        variables, jnp.full((B,), 1, jnp.int32), None, method="pred_step"
+    )
+    assert not np.allclose(np.asarray(g_tok), np.asarray(g_blank))
