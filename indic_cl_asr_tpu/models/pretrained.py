@@ -174,14 +174,23 @@ def convert_nemo_state_dict(
         "pred": {"kernel": _t(sd["joint.pred.weight"]).astype(np.float32),
                  "bias": np.asarray(sd["joint.pred.bias"], np.float32)},
     }
-    # final per-language ModuleDict lives at the last Sequential index
+    # final layer: per-language ModuleDict (5-part keys
+    # joint.joint_net.<i>.<lang>.weight) or plain single-softmax Linear
+    # (4-part keys joint.joint_net.<i>.weight — take the HIGHEST Sequential
+    # index; earlier indices would be intermediate linears). ADVICE r1
+    # (medium): the 4-part case was previously unreachable.
     head_idx = None
+    single_indices: list[int] = []
     for k in sd:
         if k.startswith("joint.joint_net.") and k.endswith(".weight"):
             parts = k.split(".")
-            if parts[3] in language_keys or len(parts) == 5:
+            if len(parts) == 5:
                 head_idx = parts[2]
                 break
+            if len(parts) == 4:
+                single_indices.append(int(parts[2]))
+    if head_idx is None and single_indices:
+        head_idx = str(max(single_indices))
     assert head_idx is not None, "no joint final layer found"
     if any(f"joint.joint_net.{head_idx}.{l}.weight" in sd
            for l in language_keys):

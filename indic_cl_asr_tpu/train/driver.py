@@ -209,11 +209,7 @@ def run_sequence(
                 f"{logger.dir}/model_{lang}.npz", state.params, trainable_mask
             )
         if checkpointer is not None:
-            checkpointer.save_task(
-                lang_idx, lang,
-                {"params": state.params, "batch_stats": state.batch_stats},
-                val_performance,
-            )
+            checkpointer.save_task(lang_idx, lang, state, val_performance)
 
     return {"val": val_performance, "test": test_performance}
 

@@ -23,6 +23,7 @@ from typing import Any
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+from flax import serialization
 
 from .pytree import mask_select, named_leaves, tree_update_from_named
 
@@ -74,11 +75,18 @@ class SequenceCheckpointer:
         return {"completed_tasks": [], "val_performance": {}}
 
     def save_task(
-        self, task_idx: int, lang: str, state_tree: Any,
+        self, task_idx: int, lang: str, state: Any,
         val_performance: dict,
     ) -> None:
-        save_pytree(os.path.join(self.root, f"task_{task_idx}_{lang}"),
-                    state_tree)
+        """Checkpoint the FULL TrainState (step/params/batch_stats/opt_state)
+        so resume continues the optimizer, not just the weights (ADVICE r1:
+        saving only {params, batch_stats} broke run_sequence's restore).
+        Serialized via flax state-dicts so optax NamedTuple states become
+        plain nested dicts orbax round-trips losslessly."""
+        save_pytree(
+            os.path.join(self.root, f"task_{task_idx}_{lang}"),
+            serialization.to_state_dict(state),
+        )
         m = self.manifest()
         if lang not in m["completed_tasks"]:
             m["completed_tasks"].append(lang)
@@ -94,6 +102,10 @@ class SequenceCheckpointer:
         return idx, m["completed_tasks"][-1]
 
     def load_task(self, task_idx: int, lang: str, like: Any) -> Any:
-        return load_pytree(
-            os.path.join(self.root, f"task_{task_idx}_{lang}"), like
+        """Restore a full TrainState saved by save_task; `like` supplies the
+        structure (a freshly-built TrainState with matching optimizer)."""
+        restored = load_pytree(
+            os.path.join(self.root, f"task_{task_idx}_{lang}"),
+            serialization.to_state_dict(like),
         )
+        return serialization.from_state_dict(like, restored)

@@ -70,3 +70,50 @@ def test_sequence_checkpointer_resume(tmp_path):
     )
     m = ckpt.manifest()
     assert m["completed_tasks"] == ["hindi", "bengali"]
+
+
+def test_sequence_checkpointer_full_train_state_roundtrip(tmp_path):
+    """ADVICE r1 (medium): save_task must checkpoint the FULL TrainState —
+    including optimizer state — in a form run_sequence's load_task(idx, lang,
+    fresh_state) actually restores."""
+    import optax
+
+    from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
+    from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
+    from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
+
+    cfg = tiny_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    mask = conformer_freeze_mask(variables["params"], 1)
+    tx = make_optimizer(lr=1e-3, trainable_mask=mask)
+    state = create_train_state(variables, tx)
+    # advance the optimizer so mu/nu/step are non-trivial
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    updates, opt2 = tx.update(grads, state.opt_state, state.params)
+    state = state.replace(
+        step=jnp.asarray(7, jnp.int32),
+        params=optax.apply_updates(state.params, updates),
+        opt_state=opt2,
+    )
+
+    ckpt = SequenceCheckpointer(str(tmp_path / "seq"))
+    ckpt.save_task(0, "hindi", state, {"hindi": [{"rnnt_wer": 0.4}]})
+
+    # fresh state, as run_sequence builds it before resume
+    _, fresh_vars = init_model(cfg, jax.random.PRNGKey(1))
+    fresh = create_train_state(fresh_vars, tx)
+    restored = ckpt.load_task(0, "hindi", fresh)
+
+    assert int(restored.step) == 7
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        restored.params, state.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        restored.opt_state, state.opt_state,
+    )

@@ -217,3 +217,39 @@ def test_lstm_bias_summing(rng):
     }
     got, _ = LSTM(H).apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
+
+
+def test_single_softmax_state_dict_converts(rng):
+    """Single-softmax checkpoints (plain Linear head, 4-part key) replicate
+    the one head per language (ADVICE r1 medium: this branch was previously
+    unreachable)."""
+    cfg = tiny_config()
+    lang_keys = ["hi", "bn", "mr", "te"]
+    sd = make_fake_nemo_sd(cfg, lang_keys, rng)
+    V1, J = cfg.vocab_per_lang + 1, cfg.joint_hidden
+    for lang in lang_keys:
+        del sd[f"joint.joint_net.2.{lang}.weight"]
+        del sd[f"joint.joint_net.2.{lang}.bias"]
+    # intermediate linear at a LOWER index must not be picked as the head
+    sd["joint.joint_net.0.weight"] = rng.standard_normal(
+        (J, J)
+    ).astype(np.float32)
+    sd["joint.joint_net.0.bias"] = rng.standard_normal(J).astype(np.float32)
+    sd["joint.joint_net.2.weight"] = rng.standard_normal(
+        (V1, J)
+    ).astype(np.float32)
+    sd["joint.joint_net.2.bias"] = rng.standard_normal(V1).astype(np.float32)
+
+    variables = convert_nemo_state_dict(
+        sd,
+        n_layers=cfg.encoder.n_layers,
+        sampling_num=cfg.encoder.sampling_num,
+        subsampled_feat=subsampled_feat_dim(cfg.encoder),
+        conv_channels=cfg.encoder.conv_channels,
+        language_keys=lang_keys,
+    )
+    hk = variables["params"]["joint"]["head_kernel"]
+    assert hk.shape == (len(lang_keys), J, V1)
+    want = _t(sd["joint.joint_net.2.weight"])
+    for l in range(len(lang_keys)):
+        np.testing.assert_allclose(hk[l], want, atol=1e-6)

@@ -124,3 +124,39 @@ def test_finetune_driver(tmp_path):
     # finetune_config pins languages to [hindi, tamil]
     assert set(res["val"].keys()) == {"hindi", "tamil"}
     assert len(res["val"]["hindi"]) == 2
+
+
+def test_cl_baseline_resume_from_sequence_dir(tmp_path):
+    """Resume path through run_sequence: a completed 2-task run re-launched
+    with --resume_dir must restore the checkpointed TrainState (the actual
+    load_task(idx, lang, state) call) and skip completed tasks."""
+    import cl_baseline
+
+    out = str(tmp_path / "base")
+    res1 = cl_baseline.main(
+        DRIVER_ARGS + ["--output_dir", out, "--notes", "t"]
+    )
+    # locate the sequence dir written by the first run
+    run_dirs = [
+        os.path.join(out, d) for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))
+    ]
+    seq = [
+        os.path.join(d, "sequence") for d in run_dirs
+        if os.path.isdir(os.path.join(d, "sequence"))
+    ]
+    assert seq, "first run must have written a sequence checkpoint dir"
+
+    res2 = cl_baseline.main(
+        DRIVER_ARGS + [
+            "--output_dir", str(tmp_path / "resumed"), "--notes", "t",
+            "--resume_dir", seq[0],
+        ]
+    )
+    # all tasks complete -> resume restores performance and trains nothing new
+    langs = list(res1["val"].keys())
+    assert [len(res2["val"][l]) for l in langs] == \
+        [len(res1["val"][l]) for l in langs]
+    for l in langs:
+        for r1, r2 in zip(res1["val"][l], res2["val"][l]):
+            assert r1 == r2
