@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
 from ..train.driver import CLMethod
 from ..train.state import TrainState
-from ..train.step import StepConfig, hybrid_forward_loss
+from ..train.step import (
+    StepConfig,
+    hybrid_forward_loss,
+    hybrid_forward_tensors,
+)
 from ..utils.pytree import tree_zeros_like
 from . import ewc as E
 from . import lwf as L
@@ -191,47 +195,33 @@ class LwFMethod(CLMethod):
         tx = self.tx
         import optax
 
-        from ..audio.features import log_mel_spectrogram
-
-        def forward_pieces(params, batch_stats, batch, rng, train):
-            variables = {"params": params, "batch_stats": batch_stats}
-            mel, mel_lens = log_mel_spectrogram(
-                batch["audio"], batch["audio_len"], step_cfg.frontend,
-                training=False,
-            )
-            (f, enc_lens), mut = model.apply(
-                variables, mel, mel_lens, train, method="encode",
-                mutable=["batch_stats"], rngs={"dropout": rng},
-            )
-            g, _ = model.apply(
-                variables, batch["tokens"], True, None, False,
-                method="predict",
-            )
-            f_proj, g_proj = model.apply(variables, f, g,
-                                         method="joint_project")
-            ctc_lp = model.apply(variables, f, batch["lang_ids"],
-                                 method="ctc_logprobs")
-            hw = jnp.take(params["joint"]["head_kernel"],
-                          batch["lang_ids"], axis=0)
-            hb = jnp.take(params["joint"]["head_bias"],
-                          batch["lang_ids"], axis=0)
-            return f_proj, g_proj, ctc_lp, hw, hb, f, enc_lens, mut
-
         def lwf_step(state: TrainState, batch, rng):
-            k_task, k_kd = jax.random.split(rng)
+            k_task, k_teacher = jax.random.split(rng)
 
             def loss_fn(params):
-                task_loss, (aux, new_bs) = hybrid_forward_loss(
+                # ONE student forward feeds both the task loss and the KD
+                # student side (ADVICE r1: the previous second forward both
+                # doubled encoder cost and distilled a computation different
+                # from the one being trained; the reference captures KD
+                # tensors from the same training_step forward,
+                # cl_baseline_lwf.py:236-239).
+                task_loss, (aux, new_bs, pieces) = hybrid_forward_loss(
                     model, model_cfg, step_cfg, params, state.batch_stats,
                     batch["audio"], batch["audio_len"], batch["tokens"],
                     batch["token_len"], batch["lang_ids"], k_task,
-                    train=True,
+                    train=True, return_pieces=True,
+                    n_valid=batch.get("n_valid"),
                 )
-                fs, gs, ctc_s, hws, hbs, _, _, _ = forward_pieces(
-                    params, state.batch_stats, batch, k_kd, True
-                )
-                ft, gt, ctc_t, hwt, hbt, _, _, _ = forward_pieces(
-                    teacher_p, teacher_bs, batch, k_kd, False
+                fs, gs, ctc_s, hws, hbs = pieces
+                # teacher: train-mode forward with its own augmentation draw
+                # (faithful: the reference runs the teacher through
+                # training_step on a train()-mode model, cl_baseline_lwf.py:
+                # 227-228 — SpecAugment + dropout active, different draw)
+                kt = jax.random.split(k_teacher, 3)
+                ft, gt, ctc_t, hwt, hbt, _, _, _ = hybrid_forward_tensors(
+                    model, step_cfg, teacher_p, teacher_bs,
+                    batch["audio"], batch["audio_len"], batch["tokens"],
+                    batch["lang_ids"], kt[0], kt[1], kt[2], train=True,
                 )
                 ctc_kd = L.ctc_kd_loss(ctc_s, ctc_t)
                 rnnt_kd = L.joint_kd_chunked(

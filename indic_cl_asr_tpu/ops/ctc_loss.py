@@ -25,6 +25,7 @@ def ctc_loss(
     reduction: str = "mean_batch",
     zero_infinity: bool = True,
     impl: str = "native",     # "native" (ops/ctc_loss_native) | "optax"
+    row_mask: jnp.ndarray | None = None,  # bool [B]: real (non-repeat) rows
 ):
     B, T, V1 = log_probs.shape
     if blank is None:
@@ -63,14 +64,6 @@ def ctc_loss(
         feasible = frame_lens >= label_lens + repeats
         nll = jnp.where(feasible & jnp.isfinite(nll), nll, 0.0)
 
-    if reduction is None or reduction == "none":
-        return nll
-    if reduction == "mean_batch":
-        return jnp.mean(nll)
-    if reduction == "sum":
-        return jnp.sum(nll)
-    if reduction == "mean_volume":
-        return jnp.sum(nll) / jnp.maximum(jnp.sum(label_lens), 1)
-    if reduction == "mean":
-        return jnp.mean(nll / jnp.maximum(label_lens, 1))
-    raise ValueError(reduction)
+    from .rnnt_loss import _reduce
+
+    return _reduce(nll, label_lens, reduction, row_mask)

@@ -290,15 +290,32 @@ def rnnt_loss(
     return _reduce(nll, label_lens, reduction)
 
 
-def _reduce(nll, label_lens, reduction: str):
+def _reduce(nll, label_lens, reduction: str, row_mask=None):
+    """Reduce per-row NLLs. ``row_mask`` (bool [B]) marks REAL rows; padded
+    repeat rows (data/pipeline.py pads the final partial bucket batch by
+    repeating its last row) are excluded so reductions match the reference's
+    smaller-final-batch semantics (audio_to_text.py:57-116)."""
     if reduction is None or reduction == "none":
         return nll
+    if row_mask is None:
+        if reduction == "mean_batch":
+            return jnp.mean(nll)
+        if reduction == "sum":
+            return jnp.sum(nll)
+        if reduction == "mean":
+            return jnp.mean(nll / jnp.maximum(label_lens, 1))
+        if reduction == "mean_volume":
+            return jnp.sum(nll) / jnp.maximum(jnp.sum(label_lens), 1)
+        raise ValueError(reduction)
+    nll = jnp.where(row_mask, nll, 0.0)
+    n = jnp.maximum(jnp.sum(row_mask.astype(nll.dtype)), 1.0)
     if reduction == "mean_batch":
-        return jnp.mean(nll)
+        return jnp.sum(nll) / n
     if reduction == "sum":
         return jnp.sum(nll)
     if reduction == "mean":
-        return jnp.mean(nll / jnp.maximum(label_lens, 1))
+        return jnp.sum(nll / jnp.maximum(label_lens, 1)) / n
     if reduction == "mean_volume":
-        return jnp.sum(nll) / jnp.maximum(jnp.sum(label_lens), 1)
+        tok = jnp.sum(jnp.where(row_mask, label_lens, 0))
+        return jnp.sum(nll) / jnp.maximum(tok, 1)
     raise ValueError(reduction)

@@ -80,6 +80,7 @@ def rnnt_loss_fused(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     impl: str = "xla",  # "xla" | "pallas" (fused joint kernel, relu only)
+    row_mask: jnp.ndarray | None = None,  # bool [B]: real (non-repeat) rows
 ):
     B, T, H = f_proj.shape
     U1 = g_proj.shape[1]
@@ -105,7 +106,7 @@ def rnnt_loss_fused(
             lp_blank, lp_label, frame_lens.astype(jnp.int32),
             label_lens.astype(jnp.int32),
         )
-        return _reduce(nll, label_lens, reduction)
+        return _reduce(nll, label_lens, reduction, row_mask)
 
     n_chunks = -(-T // chunk_size)
     T_pad = n_chunks * chunk_size
@@ -144,4 +145,4 @@ def rnnt_loss_fused(
         lp_blank, lp_label, frame_lens.astype(jnp.int32),
         label_lens.astype(jnp.int32),
     )
-    return _reduce(nll, label_lens, reduction)
+    return _reduce(nll, label_lens, reduction, row_mask)

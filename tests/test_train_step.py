@@ -148,3 +148,54 @@ class TestSharded:
         assert out.spec == jax.sharding.PartitionSpec("model", None)
         ln = sh["encoder/layers_0/norm_out/scale"]
         assert ln.spec == jax.sharding.PartitionSpec()
+
+
+def test_loss_invariant_to_repeat_padded_rows():
+    """VERDICT r1 item 8: the pipeline pads the final partial bucket batch by
+    repeating its last row; with n_valid masking, the loss must equal the
+    unpadded batch's loss exactly (reference's final batch is simply
+    smaller)."""
+    from indic_cl_asr_tpu.train.step import hybrid_forward_loss
+
+    cfg, model, state, _ = make_setup()
+    step_cfg = StepConfig(
+        frontend=FrontendConfig(n_mels=cfg.encoder.feat_in),
+        use_spec_augment=False,
+        rnnt_chunk_size=8,
+    )
+    rng = np.random.default_rng(7)
+    B, S, U = 3, 8000, 6
+    audio = rng.standard_normal((B, S)).astype(np.float32) * 0.1
+    audio_len = np.array([S, S - 1000, S - 2000], np.int32)
+    tokens = rng.integers(1, cfg.vocab_per_lang, (B, U)).astype(np.int32)
+    token_len = np.array([U, U - 2, U - 1], np.int32)
+    lang_ids = np.array([0, 1, 2], np.int32)
+
+    def loss_of(arrs, n_valid):
+        a, al, t, tl, li = (jnp.asarray(x) for x in arrs)
+        loss, _ = hybrid_forward_loss(
+            model, cfg, step_cfg, state.params, state.batch_stats,
+            a, al, t, tl, li, jax.random.PRNGKey(0), train=False,
+            n_valid=jnp.asarray(n_valid, jnp.int32),
+        )
+        return float(loss)
+
+    base = loss_of((audio, audio_len, tokens, token_len, lang_ids), B)
+
+    def rep(x):
+        return np.concatenate([x, x[-1:], x[-1:]], axis=0)
+
+    padded = loss_of(
+        (rep(audio), rep(audio_len), rep(tokens), rep(token_len),
+         rep(lang_ids)),
+        B,
+    )
+    assert padded == pytest.approx(base, rel=1e-5)
+
+    # and WITHOUT masking, the repeat rows bias the mean
+    unmasked = loss_of(
+        (rep(audio), rep(audio_len), rep(tokens), rep(token_len),
+         rep(lang_ids)),
+        B + 2,
+    )
+    assert unmasked != pytest.approx(base, rel=1e-6)
