@@ -253,3 +253,55 @@ def test_single_softmax_state_dict_converts(rng):
     want = _t(sd["joint.joint_net.2.weight"])
     for l in range(len(lang_keys)):
         np.testing.assert_allclose(hk[l], want, atol=1e-6)
+
+
+def test_full_encoder_stack_parity_with_torch_oracle(rng):
+    """End-to-end numerical parity: a from-scratch torch replica of the NeMo
+    Conformer encoder (subsampling + xscale + rel-pos + 2 full layers, eval
+    mode) vs our Flax encoder fed through the checkpoint converter
+    (VERDICT r1 item 3a — catches sign/convention errors in rel-pos
+    attention that per-module layout tests cannot)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_conformer_oracle import OracleConformerEncoder
+
+    cfg = tiny_config()
+    torch.manual_seed(0)
+    oracle = OracleConformerEncoder(cfg.encoder).eval()
+    # make every weight non-trivial, incl. rel-pos biases and BN stats
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+        for layer in oracle.layers:
+            layer.self_attn.pos_bias_u.normal_(0, 0.2)
+            layer.self_attn.pos_bias_v.normal_(0, 0.2)
+            layer.conv.batch_norm.running_mean.normal_(0, 0.2)
+            layer.conv.batch_norm.running_var.uniform_(0.5, 1.5)
+
+    B, Tm = 2, 32
+    feats = torch.randn(B, cfg.encoder.feat_in, Tm)
+    with torch.no_grad():
+        want = oracle(feats).numpy()
+
+    lang_keys = ["hi", "bn", "mr", "te"]
+    sd = make_fake_nemo_sd(cfg, lang_keys, rng)
+    sd.update(oracle.nemo_state_dict())
+    variables = convert_nemo_state_dict(
+        sd,
+        n_layers=cfg.encoder.n_layers,
+        sampling_num=cfg.encoder.sampling_num,
+        subsampled_feat=subsampled_feat_dim(cfg.encoder),
+        conv_channels=cfg.encoder.conv_channels,
+        language_keys=lang_keys,
+    )
+    model, _ = init_model(cfg, jax.random.PRNGKey(0))
+    got, enc_lens = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(feats.numpy()), jnp.full((B,), Tm, jnp.int32), False,
+        method="encode",
+    )
+    assert np.asarray(enc_lens).tolist() == [8, 8]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
