@@ -1,16 +1,25 @@
-"""Beam-search decoding: CTC prefix beam search and RNNT (Graves) beam.
+"""Beam-search decoding: CTC prefix beam search and RNNT beams.
 
 Completes the reference's decoding strategy surface beyond greedy
 (reference: parts/submodules/rnnt_decoding.py strategy dispatch
-greedy/greedy_batch/beam..., rnnt_beam_decoding and ctc beam classes). The
-reference's beam searches are host-side per-sample python loops over GPU
-calls; ours are the same shape — host control flow around jitted
-pred/joint step callables — because beam search is control-flow bound, not
-FLOP bound. The hot batched path remains ops/decoding.py's greedy.
+greedy/greedy_batch/beam/maes..., rnnt_beam_decoding and ctc beam
+classes). Three implementations:
 
-CTC: standard prefix beam search (Hannun et al. 2014) over blank/non-blank
-prefix probabilities. RNNT: Graves 2012 beam search with prefix merging and
-an expansion cap per frame.
+- `ctc_prefix_beam_search`: standard prefix beam search (Hannun et al.
+  2014) over blank/non-blank prefix probabilities, host-side per sample.
+- `rnnt_beam_search`: Graves 2012 beam with prefix merging — host-side
+  control flow around jitted pred/joint calls, per sample. Exact but slow;
+  kept as the quality oracle.
+- `rnnt_beam_search_batched`: the TPU-native hot path — a
+  frame-synchronous batched beam (the shape of NeMo's mAES,
+  rnnt_greedy_decoding.py / rnnt_beam_decoding "maes" strategy) expressed
+  as a `lax.scan` over frames with a fixed number of expansion rounds per
+  frame. Everything is static-shape: hypotheses live in [B, K, ...]
+  tensors, the joint/pred nets are evaluated for all B*K hypotheses at
+  once on the MXU, and selection is `lax.top_k` over the K*(P+1) candidate
+  matrix. Same-label-sequence hypotheses are logsumexp-merged at frame end
+  (Graves prefix merging, restricted to the in-beam K — the only
+  approximation vs the host beam).
 """
 
 from __future__ import annotations
@@ -164,3 +173,196 @@ def rnnt_beam_search(
         B = sorted(B, key=lambda h: -h.score)[:beam_size]
 
     return list(max(B, key=lambda h: h.score).ys)
+
+
+def rnnt_beam_search_batched(
+    f_proj,       # [B, T, H] projected encoder frames
+    frame_lens,   # [B]
+    lang_ids,     # [B]
+    pred_step: Callable,   # ([N] labels, state|None) -> (g [N, H], state)
+    joint_step: Callable,  # (f [N,H], g [N,H], lang [N]) -> [N, V+1] logits
+    init_state=None,
+    *,
+    blank: int,
+    beam_size: int = 4,
+    max_expansions: int = 6,
+    max_out: int = 256,
+    topk: int | None = None,
+):
+    """Batched frame-synchronous transducer beam search under jit.
+
+    Returns (ids [B, max_out] blank-padded, lens [B], scores [B]) for the
+    best hypothesis per batch row. With beam_size=1 and max_expansions ==
+    greedy's max_symbols this reduces exactly to greedy decoding (the top-1
+    of {blank, best non-blank} is the argmax greedy compares).
+
+    Per frame, each live hypothesis either takes blank (done for this
+    frame) or extends with one of its top-P non-blank symbols (stays in
+    the expansion loop); a global `lax.top_k` over the K*(P+1) candidate
+    matrix keeps the beam. After `max_expansions` rounds still-active
+    hypotheses are force-finalized with their blank score — the cap plays
+    the role of greedy's `max_symbols`. Identical label sequences are
+    logsumexp-merged at frame end (Graves prefix merging restricted to the
+    in-beam K). Reference spec: rnnt_greedy_decoding.py:711-843 frame
+    loop + the beam/maes strategies in rnnt_decoding.py's dispatch.
+
+    All hypothesis state is [B, K, ...] (prediction-net state kept flat as
+    [B*K, ...]); the joint and prediction nets run once per expansion for
+    all B*K hypotheses, so the MXU sees one batched matmul, not K loops.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, T, H = f_proj.shape
+    K = beam_size
+    P = topk if topk is not None else beam_size
+    NEG = jnp.float32(-1e30)
+
+    def flat(x):  # [B, K, ...] -> [B*K, ...]
+        return x.reshape((B * K,) + x.shape[2:])
+
+    def unflat(x):  # [B*K, ...] -> [B, K, ...]
+        return x.reshape((B, K) + x.shape[1:])
+
+    # prime every slot with the blank/SOS prediction-net step
+    g0_flat, state0 = pred_step(
+        jnp.full((B * K,), blank, jnp.int32), init_state
+    )
+    lang_flat = jnp.repeat(lang_ids, K)
+
+    tokens0 = jnp.full((B, K, max_out), blank, jnp.int32)
+    lens0 = jnp.zeros((B, K), jnp.int32)
+    # only slot 0 is live at t=0: every slot is the same empty prefix, and
+    # keeping the rest dead avoids a beam full of duplicates
+    scores0 = jnp.tile(
+        jnp.where(jnp.arange(K) == 0, 0.0, NEG).astype(jnp.float32)[None],
+        (B, 1),
+    )
+
+    b_iota = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
+    k_iota = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+
+    def gather_bk(x, parent):  # x [B, K, ...] -> x[b, parent[b, k]]
+        return x[b_iota, parent]
+
+    def gather_state(state, parent):
+        # state leaves are [B*K, ...]; parent [B, K] beam indices
+        fp = (b_iota * K + parent).reshape(-1)  # [B*K] flat indices
+        return jax.tree.map(lambda s: s[fp], state)
+
+    def frame(carry, xs):
+        tokens, lens, scores, g, state = carry
+        f_t, t = xs  # f_t [B, H]
+        frame_active = t < frame_lens  # [B]
+        f_rep = jnp.repeat(f_t, K, axis=0)  # [B*K, H]
+
+        def logp_all(g):  # g [B, K, H] -> log-probs [B, K, V+1]
+            logits = joint_step(f_rep, flat(g), lang_flat)
+            return unflat(jax.nn.log_softmax(logits, axis=-1))
+
+        def expand(carry):
+            e, tokens, lens, scores, g, state, done = carry
+            lp = logp_all(g)  # [B, K, V+1]
+            can_extend = (~done) & (lens < max_out)
+            # candidate slot 0: take blank (done hyps carry unchanged)
+            stay = jnp.where(done, scores, scores + lp[..., blank])
+            # slots 1..P: top-P non-blank extensions
+            lp_nb = lp.at[..., blank].set(NEG)
+            ext_lp, ext_ids = jax.lax.top_k(lp_nb, P)  # [B, K, P]
+            ext = jnp.where(
+                can_extend[..., None], scores[..., None] + ext_lp, NEG
+            )
+            cand = jnp.concatenate([stay[..., None], ext], axis=-1)
+            new_scores, sel = jax.lax.top_k(
+                cand.reshape(B, K * (P + 1)), K
+            )  # both [B, K]
+            parent = sel // (P + 1)
+            slot = sel % (P + 1)
+            is_stay = slot == 0
+            ext_tok = jnp.take_along_axis(
+                gather_bk(ext_ids, parent),
+                jnp.maximum(slot - 1, 0)[..., None], axis=-1,
+            )[..., 0]  # [B, K] chosen non-blank token (junk where is_stay)
+            p_tokens = gather_bk(tokens, parent)
+            p_lens = gather_bk(lens, parent)
+            wpos = jnp.clip(p_lens, 0, max_out - 1)
+            cur = p_tokens[b_iota, k_iota, wpos]
+            new_tokens = p_tokens.at[b_iota, k_iota, wpos].set(
+                jnp.where(is_stay, cur, ext_tok)
+            )
+            new_lens = p_lens + (~is_stay).astype(jnp.int32)
+            new_done = gather_bk(done, parent) | is_stay
+            # prediction net advances only on emission
+            p_g = gather_bk(g, parent)
+            p_state = gather_state(state, parent)
+            g_new, state_new = pred_step(
+                flat(jnp.where(is_stay, blank, ext_tok)), p_state
+            )
+            emit_flat = flat(~is_stay)
+            g2 = jnp.where((~is_stay)[..., None], unflat(g_new), p_g)
+            state2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    emit_flat.reshape((B * K,) + (1,) * (new.ndim - 1)),
+                    new, old,
+                ),
+                state_new, p_state,
+            )
+            return e + 1, new_tokens, new_lens, new_scores, g2, state2, new_done
+
+        def cond(carry):
+            e = carry[0]
+            done = carry[-1]
+            return (e < max_expansions) & ~jnp.all(done)
+
+        done0 = scores <= NEG / 2  # dead slots never expand
+        _, tokens2, lens2, scores2, g2, state2, done2 = jax.lax.while_loop(
+            cond, expand, (0, tokens, lens, scores, g, state, done0)
+        )
+        # force-finalize hypotheses that ran out of expansions
+        lp = logp_all(g2)
+        scores2 = jnp.where(
+            done2 | (scores2 <= NEG / 2), scores2, scores2 + lp[..., blank]
+        )
+
+        # Graves prefix merge restricted to the beam: logsumexp identical
+        # label sequences, kill the duplicate slot (K is small and static,
+        # so the pairwise loop unrolls to a handful of vector ops)
+        for i in range(K):
+            for j in range(i + 1, K):
+                same = (
+                    (lens2[:, i] == lens2[:, j])
+                    & jnp.all(tokens2[:, i] == tokens2[:, j], axis=-1)
+                    & (scores2[:, i] > NEG / 2)
+                    & (scores2[:, j] > NEG / 2)
+                )
+                merged = jnp.logaddexp(scores2[:, i], scores2[:, j])
+                scores2 = scores2.at[:, i].set(
+                    jnp.where(same, merged, scores2[:, i])
+                )
+                scores2 = scores2.at[:, j].set(
+                    jnp.where(same, NEG, scores2[:, j])
+                )
+
+        # rows whose frames are exhausted carry through unchanged
+        m = frame_active
+        tokens = jnp.where(m[:, None, None], tokens2, tokens)
+        lens = jnp.where(m[:, None], lens2, lens)
+        scores = jnp.where(m[:, None], scores2, scores)
+        g = jnp.where(m[:, None, None], g2, g)
+        mk = jnp.repeat(m, K)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(
+                mk.reshape((B * K,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            state2, state,
+        )
+        return (tokens, lens, scores, g, state), None
+
+    (tokens, lens, scores, _, _), _ = jax.lax.scan(
+        frame,
+        (tokens0, lens0, scores0, unflat(g0_flat), state0),
+        (jnp.swapaxes(f_proj, 0, 1), jnp.arange(T)),
+    )
+    best = jnp.argmax(scores, axis=1)  # [B]
+    rows = jnp.arange(B)
+    return tokens[rows, best], lens[rows, best], scores[rows, best]

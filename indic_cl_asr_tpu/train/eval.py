@@ -93,6 +93,29 @@ class Transcriber:
                 max_out=self.max_out,
             )
 
+        def rnnt_beam_fn(variables, audio, audio_lens, lang_ids):
+            from ..ops.beam_search import rnnt_beam_search_batched
+
+            f, enc_lens = encode(variables, audio, audio_lens)
+            f_proj = model.apply(variables, f, method="joint_project_enc")
+
+            def pred_step(last_label, state):
+                return model.apply(
+                    variables, last_label, state, method="pred_step"
+                )
+
+            def joint_step(f_t, g_t, li):
+                return model.apply(
+                    variables, f_t, g_t, li, method="joint_step"
+                )
+
+            ids, lens, _ = rnnt_beam_search_batched(
+                f_proj, enc_lens, lang_ids, pred_step, joint_step, None,
+                blank=blank, beam_size=self.beam_size,
+                max_expansions=self.max_symbols, max_out=self.max_out,
+            )
+            return ids, lens
+
         def ctc_logprob_fn(variables, audio, audio_lens, lang_ids):
             f, enc_lens = encode(variables, audio, audio_lens)
             return (
@@ -109,6 +132,7 @@ class Transcriber:
 
         self._ctc_fn = jax.jit(ctc_fn)
         self._rnnt_fn = jax.jit(rnnt_fn)
+        self._rnnt_beam_fn = jax.jit(rnnt_beam_fn)
         self._ctc_logprob_fn = jax.jit(ctc_logprob_fn)
         self._enc_proj_fn = jax.jit(enc_proj_fn)
 
@@ -123,10 +147,18 @@ class Transcriber:
 
         from ..data.pipeline import _assemble
 
-        assert decoder in ("rnnt", "ctc", "rnnt_beam", "ctc_beam")
+        assert decoder in (
+            "rnnt", "ctc", "rnnt_beam", "rnnt_beam_host", "ctc_beam"
+        )
         spec = self.bucket_spec or BucketSpec()
         lang_index = {l: i for i, l in enumerate(self.languages)}
-        fn = {"rnnt": self._rnnt_fn, "ctc": self._ctc_fn}.get(decoder)
+        fn = {
+            "rnnt": self._rnnt_fn,
+            "ctc": self._ctc_fn,
+            # batched frame-synchronous beam, fully under jit — the hot
+            # eval-scale beam path (reference beam classes are host loops)
+            "rnnt_beam": self._rnnt_beam_fn,
+        }.get(decoder)
 
         by_bucket: dict[int, list[int]] = {}
         for i, e in enumerate(entries):
@@ -147,7 +179,7 @@ class Transcriber:
                         [entries[j] for j in padded], n_real, bucket, spec,
                         self.tokenizer, lang_index, 0, load_audio, io_pool,
                     )
-                    if decoder in ("rnnt", "ctc"):
+                    if decoder in ("rnnt", "ctc", "rnnt_beam"):
                         ids, lens = fn(
                             variables,
                             jnp.asarray(batch.audio),
@@ -177,7 +209,7 @@ class Transcriber:
                             )
                             for r in range(n_real)
                         ]
-                    else:  # rnnt_beam
+                    else:  # rnnt_beam_host: per-sample Graves beam oracle
                         from ..ops.beam_search import rnnt_beam_search
 
                         f_proj, enc_lens = self._enc_proj_fn(

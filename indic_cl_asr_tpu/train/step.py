@@ -44,6 +44,7 @@ class StepConfig:
     rnnt_chunk_size: int = 64
     use_spec_augment: bool = True
     rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
+    ctc_impl: str = "native"  # "native" (scan lattice) | "optax"
 
 
 def hybrid_forward_tensors(
@@ -139,6 +140,7 @@ def hybrid_forward_loss(
     ctc = ctc_loss(
         ctc_lp, enc_lens, tokens, token_lens,
         blank=model_cfg.blank_local, reduction="mean_batch",
+        impl=step_cfg.ctc_impl,
         row_mask=row_mask,
     )
 

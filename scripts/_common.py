@@ -54,11 +54,15 @@ from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
 DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "config.yaml")
 
 
-def setup(argv=None, config_path: str | None = None, notes_default: str = ""):
+def setup(argv=None, config_path: str | None = None, notes_default: str = "",
+          extra_args: dict | None = None):
     cfg = load_config(config_path or DEFAULT_CONFIG)
     cfg, ns = override_config_with_args(
         cfg, argv=argv,
-        extra_args={"notes": {"type": str, "default": notes_default}},
+        extra_args={
+            "notes": {"type": str, "default": notes_default},
+            **(extra_args or {}),
+        },
     )
     # persistent compilation cache only when explicitly requested — cached
     # artifacts have faulted on reload through the TPU tunnel

@@ -43,13 +43,14 @@ def make_transcriber(tmp_path, langs=("hindi", "tamil"), n=5):
 def test_transcribe_shapes_and_determinism(tmp_path):
     tr, variables, data, langs = make_transcriber(tmp_path)
     entries = data["hindi"]
-    for decoder in ("ctc", "rnnt", "ctc_beam", "rnnt_beam"):
-        # beam decoders are host-side per-sample: keep their slice small
-        subset = entries if decoder in ("ctc", "rnnt") else entries[:2]
+    batched = ("ctc", "rnnt", "rnnt_beam")
+    for decoder in batched + ("ctc_beam", "rnnt_beam_host"):
+        # host beam decoders are per-sample loops: keep their slice small
+        subset = entries if decoder in batched else entries[:2]
         hyps = tr.transcribe(variables, subset, decoder)
         assert len(hyps) == len(subset)
         assert all(isinstance(h, str) for h in hyps)
-        if decoder in ("ctc", "rnnt"):
+        if decoder in batched:
             assert hyps == tr.transcribe(variables, subset, decoder)
 
 
