@@ -39,10 +39,18 @@ def main():
     from indic_cl_asr_tpu.train.step import StepConfig, make_train_step
     from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
 
+    import dataclasses
+
     cfg = flagship_config()
+    # reference working point freezes encoder layers [0, 12): the scanned
+    # encoder takes the stop-gradient cut inside the layer stack (backward
+    # never enters the frozen prefix) + zeroed optimizer rows
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, frozen_till=12)
+    )
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     mask = conformer_freeze_mask(variables["params"], 12)
-    tx = make_optimizer(lr=1e-4, trainable_mask=mask)
+    tx = make_optimizer(lr=1e-4, trainable_mask=mask, stacked_freeze_till=12)
     state = create_train_state(variables, tx)
     step_cfg = StepConfig()
     step = jax.jit(

@@ -152,10 +152,15 @@ def _stft_magsq(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     full_win[left : left + cfg.win_length] = win
     full_win = jnp.asarray(full_win)
 
-    # batched overlapping frames: one gather, fused with the windowing
+    # batched overlapping frames: one gather, fused with the windowing.
+    # Index matrix from on-device iotas — a host-side [T, n_fft] i32
+    # constant (~1.6 MB at 8s audio) bloats the serialized program that
+    # the tunneled remote-compile service caps.
     frame_idx = (
-        np.arange(n_frames)[:, None] * cfg.hop_length + np.arange(cfg.n_fft)
-    )  # [T, n_fft] (static)
+        jax.lax.broadcasted_iota(jnp.int32, (n_frames, cfg.n_fft), 0)
+        * cfg.hop_length
+        + jax.lax.broadcasted_iota(jnp.int32, (n_frames, cfg.n_fft), 1)
+    )  # [T, n_fft]
     frames = x[:, frame_idx] * full_win  # [B, T, n_fft]
     spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)  # [B, T, n_bins]
     mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2

@@ -70,6 +70,14 @@ class ConformerConfig:
     # cache-aware streaming (the reference's CausalConv1D option,
     # conformer_modules.py / SURVEY §5.7 streaming notes)
     causal_conv: bool = False
+    # scan_layers: run the layer stack as a lax.scan over stacked
+    # parameters [L, ...] instead of a Python-unrolled loop. Same math,
+    # O(1) program size in depth (one layer body in the HLO instead of L
+    # copies) and O(1) compile time — required at flagship depth: the
+    # tunneled remote-compile service rejects the 17x-unrolled program
+    # (HTTP 413 body-size limit). Param tree changes to
+    # encoder/stack/layers/<leaf>[L, ...].
+    scan_layers: bool = False
     dtype: Any = jnp.float32  # compute dtype
 
     @property
@@ -143,6 +151,25 @@ def rel_positional_encoding(length: int, d_model: int) -> np.ndarray:
     pe[:, 0::2] = np.sin(positions * div_term)
     pe[:, 1::2] = np.cos(positions * div_term)
     return pe.astype(np.float32)
+
+
+def rel_positional_encoding_dev(length: int, d_model: int) -> jnp.ndarray:
+    """On-device `rel_positional_encoding`: same table built from iotas so
+    no [2L-1, d] f32 literal is embedded in the program (host constants
+    bloat the serialized HLO past the tunneled remote-compile cap).
+    f32 sin/cos vs the NumPy f64 table differs by <1e-4 at |pos|<1e3."""
+    positions = (length - 1) - jnp.arange(
+        2 * length - 1, dtype=jnp.float32
+    )  # L-1 .. -(L-1)
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / d_model)
+    )
+    ang = positions[:, None] * div_term[None, :]  # [2L-1, d/2]
+    # interleave sin/cos into even/odd feature columns
+    return jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(
+        2 * length - 1, d_model
+    )
 
 
 def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
@@ -300,6 +327,131 @@ class ConformerLayer(nn.Module):
         return nn.LayerNorm(dtype=cfg.dtype, name="norm_out")(x)
 
 
+class ConformerLayerStack(nn.Module):
+    """All ConformerLayers' parameters stacked along a leading [L] axis,
+    applied with `jax.lax.scan` — ONE layer body in the compiled program
+    regardless of depth (the TPU-idiomatic depth dimension; the reference
+    unrolls an nn.ModuleList, conformer_encoder.py:576-640).
+
+    The `frozen_till` gradient cut splits the scan into two static
+    segments with a `stop_gradient` between them, so the backward scan
+    never enters the frozen prefix — identical cost semantics to the
+    unrolled stop-gradient cut. Parameter structure is INDEPENDENT of
+    `frozen_till` (one [L] stack), so checkpoints restore across freeze
+    settings; the frozen rows' weight-decay is neutralized in the
+    optimizer (train/state.py `make_optimizer(stacked_freeze_till=...)`).
+    """
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, att_mask, pad_mask, train: bool):
+        cfg = self.cfg
+        L = cfg.n_layers
+        layer = ConformerLayer(cfg)
+        use_bn = cfg.conv_norm_type == "batch_norm"
+
+        def init_params(rng):
+            keys = jax.random.split(rng, L)
+            # shapes don't depend on T/pos length: init on a 2-frame slice
+            x2 = jnp.zeros((1, 2, cfg.d_model), x.dtype)
+            pe2 = jnp.zeros((3, cfg.d_model), pos_emb.dtype)
+            return jax.vmap(
+                lambda k: layer.init(
+                    {"params": k}, x2, pe2, None, None, False
+                )["params"]
+            )(keys)
+
+        p_stack = self.param("layers", init_params)
+
+        bs_var = None
+        if use_bn:
+            # nn.BatchNorm stats layout (mean zeros / var ones), stacked
+            bs_var = self.variable(
+                "batch_stats", "layers",
+                lambda: {
+                    "conv": {"batch_norm": {
+                        "mean": jnp.zeros((L, cfg.d_model), jnp.float32),
+                        "var": jnp.ones((L, cfg.d_model), jnp.float32),
+                    }}
+                },
+            )
+
+        update_stats = (
+            use_bn and train and self.is_mutable_collection("batch_stats")
+        )
+        need_rng = train and (
+            cfg.dropout > 0 or cfg.dropout_att > 0
+        ) and self.has_rng("dropout")
+        keys = (
+            jax.random.split(self.make_rng("dropout"), L)
+            if need_rng else None
+        )
+
+        def body(carry, xs):
+            p, bs, key = xs
+            variables = {"params": p}
+            if use_bn:
+                variables["batch_stats"] = bs
+            rngs = {"dropout": key} if key is not None else None
+            if use_bn and train:
+                # BatchNorm writes batch statistics in train mode, so the
+                # inner apply always takes mutable; the outer collection
+                # only persists them when it is itself mutable
+                y, mut = layer.apply(
+                    variables, carry, pos_emb, att_mask, pad_mask, train,
+                    rngs=rngs, mutable=["batch_stats"],
+                )
+                return y, mut["batch_stats"] if update_stats else None
+            y = layer.apply(
+                variables, carry, pos_emb, att_mask, pad_mask, train,
+                rngs=rngs,
+            )
+            return y, None
+
+        def segment(x, lo, hi):
+            take = lambda t: jax.tree.map(lambda a: a[lo:hi], t)
+            xs = (
+                take(p_stack),
+                take(bs_var.value) if use_bn else None,
+                keys[lo:hi] if keys is not None else None,
+            )
+            return jax.lax.scan(body, x, xs)
+
+        F = min(max(cfg.frozen_till, 0), L)
+        new_stats = []
+        if F > 0:
+            x, s1 = segment(x, 0, F)
+            # single gradient cut below the trainable suffix — the
+            # backward scan for the frozen segment is never emitted
+            x = jax.lax.stop_gradient(x)
+            new_stats.append(s1)
+        if F < L:
+            x, s2 = segment(x, F, L)
+            new_stats.append(s2)
+        if update_stats:
+            bs_var.value = (
+                jax.tree.map(
+                    lambda *a: jnp.concatenate(a, axis=0), *new_stats
+                )
+                if len(new_stats) > 1 else new_stats[0]
+            )
+        return x
+
+
+def stack_encoder_layers(tree: dict, n_layers: int) -> dict:
+    """Unrolled encoder collection subtree ({'layers_<i>': ..., other}) ->
+    the scanned layout ({'stack': {'layers': [L, ...]-stacked}, other}).
+
+    Converts params or batch_stats between the two `ConformerEncoder`
+    parameter layouts (`scan_layers` False -> True), e.g. for loading an
+    unrolled checkpoint into the scanned flagship encoder."""
+    out = {k: v for k, v in tree.items() if not k.startswith("layers_")}
+    per = [tree[f"layers_{i}"] for i in range(n_layers)]
+    out["stack"] = {"layers": jax.tree.map(lambda *a: jnp.stack(a), *per)}
+    return out
+
+
 class ConformerEncoder(nn.Module):
     """[B, F, T_mel] features + [B] mel lengths -> [B, T_enc, d], [B] lens."""
 
@@ -315,7 +467,7 @@ class ConformerEncoder(nn.Module):
         T = x.shape[1]
         if cfg.xscale:
             x = x * math.sqrt(cfg.d_model)
-        pos_emb = jnp.asarray(rel_positional_encoding(T, cfg.d_model)).astype(
+        pos_emb = rel_positional_encoding_dev(T, cfg.d_model).astype(
             cfg.dtype
         )
         x = nn.Dropout(cfg.dropout_pre_encoder)(x, deterministic=not train)
@@ -339,14 +491,19 @@ class ConformerEncoder(nn.Module):
                 band = band & (rel <= right)
             att_mask = att_mask & band
 
-        for i in range(cfg.n_layers):
-            x = ConformerLayer(cfg, name=f"layers_{i}")(
+        if cfg.scan_layers:
+            x = ConformerLayerStack(cfg, name="stack")(
                 x, pos_emb, att_mask, pad_mask, train
             )
-            if cfg.frozen_till > 0 and i == cfg.frozen_till - 1:
-                # single gradient cut below the trainable suffix — exact
-                # equivalent of running the frozen prefix under no_grad
-                x = jax.lax.stop_gradient(x)
+        else:
+            for i in range(cfg.n_layers):
+                x = ConformerLayer(cfg, name=f"layers_{i}")(
+                    x, pos_emb, att_mask, pad_mask, train
+                )
+                if cfg.frozen_till > 0 and i == cfg.frozen_till - 1:
+                    # single gradient cut below the trainable suffix —
+                    # exact equivalent of a no_grad frozen prefix
+                    x = jax.lax.stop_gradient(x)
 
         x = jnp.where(pad_mask[:, :, None], x, 0.0)
         return x, out_lens

@@ -101,6 +101,10 @@ def flagship_config(dtype=jnp.bfloat16, n_layers: int = 17) -> "HybridModelConfi
             feat_in=80, n_layers=n_layers, d_model=512, n_heads=8,
             ff_expansion_factor=4, conv_kernel_size=31,
             subsampling_factor=4, dtype=dtype,
+            # lax.scan over stacked layer params: O(1) program size in
+            # depth — the 17x-unrolled program exceeds the tunneled
+            # remote-compile service's request-size limit (HTTP 413)
+            scan_layers=True,
         ),
         vocab_size_total=3072,
         n_langs=12,

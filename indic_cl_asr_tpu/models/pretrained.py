@@ -78,8 +78,13 @@ def convert_nemo_state_dict(
     subsampled_feat: int,
     conv_channels: int,
     language_keys: list[str],
+    scan_layers: bool = False,
 ) -> dict:
-    """NeMo hybrid RNNT+CTC BPE state dict -> {"params", "batch_stats"}."""
+    """NeMo hybrid RNNT+CTC BPE state dict -> {"params", "batch_stats"}.
+
+    With ``scan_layers`` the per-layer encoder subtrees are stacked along a
+    leading [L] axis under ``encoder/stack/layers`` (the lax.scan layout of
+    models/conformer.py ConformerLayerStack)."""
     params: dict = {}
     stats: dict = {}
 
@@ -148,6 +153,18 @@ def convert_nemo_state_dict(
             sd[p + "conv.batch_norm.running_mean"])
         put(stats, ("encoder", f"layers_{i}", "conv", "batch_norm", "var"),
             sd[p + "conv.batch_norm.running_var"])
+
+    if scan_layers:
+        per_layer = [params["encoder"].pop(f"layers_{i}")
+                     for i in range(n_layers)]
+        params["encoder"]["stack"] = {
+            "layers": jax.tree.map(lambda *a: np.stack(a), *per_layer)
+        }
+        per_stats = [stats["encoder"].pop(f"layers_{i}")
+                     for i in range(n_layers)]
+        stats["encoder"]["stack"] = {
+            "layers": jax.tree.map(lambda *a: np.stack(a), *per_stats)
+        }
 
     # ---- prediction net ----
     pred = {"embedding": np.asarray(
@@ -243,4 +260,5 @@ def load_pretrained(nemo_path: str, model_cfg) -> dict:
         subsampled_feat=subsampled_feat_dim(model_cfg.encoder),
         conv_channels=model_cfg.encoder.conv_channels,
         language_keys=lang_keys,
+        scan_layers=model_cfg.encoder.scan_layers,
     )

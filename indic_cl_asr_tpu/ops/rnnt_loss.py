@@ -38,29 +38,26 @@ NEG_INF = -1e30  # large-but-finite to keep arithmetic NaN-free
 def _to_diagonals(x: jnp.ndarray, fill: float) -> jnp.ndarray:
     """[B, T, U1] -> [B, T+U1-1, U1] with out[b, d, u] = x[b, d-u, u]
     (anti-diagonal-major layout; invalid (d-u) slots get ``fill``).
-    The index matrices are static numpy, so this is one fused gather."""
+    Index matrices are built from on-device iotas (NOT host constants:
+    embedded [D, U1] i32 literals bloat the serialized program that the
+    tunneled remote-compile service caps), fused into one gather."""
     B, T, U1 = x.shape
     D = T + U1 - 1
-    import numpy as _np
-
-    d_idx = _np.arange(D)[:, None]
-    u_idx = _np.arange(U1)[None, :]
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (D, U1), 0)
+    u_idx = jax.lax.broadcasted_iota(jnp.int32, (D, U1), 1)
     t_idx = d_idx - u_idx                       # [D, U1]
     valid = (t_idx >= 0) & (t_idx < T)
-    t_safe = _np.clip(t_idx, 0, T - 1)
-    out = x[:, jnp.asarray(t_safe), jnp.asarray(u_idx)]  # [B, D, U1]
-    return jnp.where(jnp.asarray(valid)[None], out, fill)
+    t_safe = jnp.clip(t_idx, 0, T - 1)
+    out = x[:, t_safe, u_idx]                   # [B, D, U1]
+    return jnp.where(valid[None], out, fill)
 
 
 def _from_diagonals(xd: jnp.ndarray, T: int) -> jnp.ndarray:
     """Inverse of _to_diagonals: [B, D, U1] -> [B, T, U1]."""
     B, D, U1 = xd.shape
-    import numpy as _np
-
-    t_idx = _np.arange(T)[:, None]
-    u_idx = _np.arange(U1)[None, :]
-    d_idx = t_idx + u_idx                        # [T, U1], always valid
-    return xd[:, jnp.asarray(d_idx), jnp.asarray(_np.broadcast_to(u_idx, (T, U1)))]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, U1), 0)
+    u_idx = jax.lax.broadcasted_iota(jnp.int32, (T, U1), 1)
+    return xd[:, t_idx + u_idx, u_idx]
 
 
 def _prepare(lp_blank, lp_label, t_lens, u_lens):

@@ -77,6 +77,10 @@ def _spec_for_path(path: str, use_model_axis: bool) -> P:
     if use_model_axis:
         for pattern, spec in PARAM_RULES:
             if re.search(pattern, path):
+                if "stack/layers/" in path:
+                    # scanned-encoder leaves carry a leading [L] layer
+                    # axis: shift the spec right by one (replicate L)
+                    return P(None, *spec)
                 return spec
     return P()  # replicated
 

@@ -29,11 +29,47 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def zero_stacked_prefix(
+    n_rows: int, path_substr: str = "encoder/stack/layers"
+) -> optax.GradientTransformation:
+    """Zero the leading ``n_rows`` of every update leaf under the scanned
+    encoder stack (leaves are [L, ...] with layer as axis 0).
+
+    With scan_layers the frozen encoder prefix lives INSIDE stacked leaves,
+    so leaf-level masking can't freeze it. Gradients for those rows are
+    already exactly zero (the model's stop-gradient cut); this transform
+    additionally kills AdamW's gradient-independent weight-decay term so
+    frozen rows truly never change — matching the reference's
+    requires_grad=False freeze (utils.py:246-263)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        def fix(path, u):
+            if not hasattr(u, "ndim"):  # e.g. optax.MaskedNode
+                return u
+            parts = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            if path_substr in parts:
+                keep = (
+                    jnp.arange(u.shape[0]) >= n_rows
+                ).reshape((-1,) + (1,) * (u.ndim - 1))
+                return u * keep.astype(u.dtype)
+            return u
+
+        return jax.tree_util.tree_map_with_path(fix, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float = 1e-4,
     weight_decay: float = 0.01,  # torch AdamW default, used by the drivers
     trainable_mask: Any | None = None,
     grad_clip: float | None = None,
+    stacked_freeze_till: int = 0,
 ) -> optax.GradientTransformation:
     txs = []
     if grad_clip:
@@ -43,6 +79,9 @@ def make_optimizer(
             lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
         )
     )
+    if stacked_freeze_till > 0:
+        # scanned-encoder frozen prefix: see zero_stacked_prefix
+        txs.append(zero_stacked_prefix(stacked_freeze_till))
     tx = optax.chain(*txs)
     if trainable_mask is not None:
         # frozen leaves must get ZERO updates (optax.masked would pass raw

@@ -66,6 +66,13 @@ def conformer_freeze_mask(params: Any, freeze_encoder_till: int) -> Any:
     blocks with index < ``freeze_encoder_till`` (including the subsampling
     pre-encode when any layer is frozen). Our encoder params live under
     ``encoder/layers_<i>/...`` and ``encoder/pre_encode/...``.
+
+    With the scanned encoder (``encoder/stack/layers`` holding [L, ...]
+    stacked leaves) a leaf-level mask cannot split the frozen prefix from
+    the trainable suffix — the stack is marked trainable here and the
+    per-row freeze is enforced by the model's stop-gradient cut (zero
+    grads) plus ``make_optimizer(stacked_freeze_till=...)`` (zeroed
+    updates, neutralizing AdamW weight decay on frozen rows).
     """
     layer_re = re.compile(r"encoder/(?:layers|blocks)[_/](\d+)(?:/|$)")
 
@@ -75,6 +82,8 @@ def conformer_freeze_mask(params: Any, freeze_encoder_till: int) -> Any:
         m = layer_re.search(path)
         if m is not None:
             return int(m.group(1)) >= freeze_encoder_till
+        if "encoder/stack/" in path:
+            return True  # per-row handling: see docstring
         if "pre_encode" in path or "pos_enc" in path:
             return False
         return True

@@ -172,6 +172,10 @@ def build_model_cfg(cfg, tokenizer, languages) -> HybridModelConfig:
         conv_kernel_size=m.get("conv_kernel_size", 31),
         subsampling_factor=m.get("subsampling_factor", 4),
         frozen_till=m.get("freeze_encoder_till", 12),
+        # lax.scan over stacked layer params (O(1) program size in depth)
+        # — the canonical TPU path; --model.scan_layers false falls back
+        # to the unrolled per-layer param tree
+        scan_layers=m.get("scan_layers", True),
         dtype=dtype,
     )
     return HybridModelConfig(
@@ -200,7 +204,13 @@ def build_all(cfg, ns):
     mask = conformer_freeze_mask(
         variables["params"], cfg.model.freeze_encoder_till
     )
-    tx = make_optimizer(lr=cfg.lr, trainable_mask=mask)
+    tx = make_optimizer(
+        lr=cfg.lr, trainable_mask=mask,
+        stacked_freeze_till=(
+            cfg.model.freeze_encoder_till
+            if model_cfg.encoder.scan_layers else 0
+        ),
+    )
     state = create_train_state(variables, tx)
 
     b = cfg.get("buckets", {})
