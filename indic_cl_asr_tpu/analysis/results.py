@@ -212,11 +212,262 @@ def plot_box(runs, out_pdf, split="val", decoder="rnnt", languages=None):
     plt.close(fig)
 
 
+# ---------------------------------------------------------------------------
+# reference plot families: five PDFs per comparison dir
+# (reference results.py:433-680 updated_plot_stats, :700-934
+# updated_plot_stats_multi — line / shaded min-max / error-bar / BWT / box)
+# ---------------------------------------------------------------------------
+
+METRIC_KINDS = {"avg": "avg_wer", "": "wer", "noisy": "noisy_wer"}
+METRIC_TITLES = {"avg": "Avg", "": "Normal", "noisy": "Noisy"}
+
+_PDF_NAMES = (
+    "wer_line_plot.pdf", "wer_shaded_plot.pdf", "wer_error_bars_plot.pdf",
+    "bwt_plot.pdf", "wer_box_plot.pdf",
+)
+
+
+def calc_scores(
+    runs: dict[str, list[dict]], decoder: str, metric: str = "avg",
+    split: str = "val", languages=None,
+):
+    """(bwt, avg, min, max), each {run: {lang: float}} — the reference's
+    calc_scores contract (results.py:339-397). ``metric`` is one of
+    METRIC_KINDS ('' = clean/normal WER, 'noisy', 'avg' = their mean)."""
+    kind = METRIC_KINDS[metric]
+    languages = languages or LANGUAGES
+    bwt, avg, mn, mx = {}, {}, {}, {}
+    for name, recs in runs.items():
+        perf = collect_perf(recs, split, decoder, kind, languages)
+        mat, langs = perf_matrix(perf, languages)
+        avg[name], mn[name], mx[name] = {}, {}, {}
+        for j, lang in enumerate(langs):
+            col = mat[:, j]
+            col = col[~np.isnan(col)]
+            if len(col):
+                avg[name][lang] = float(col.mean())
+                mn[name][lang] = float(col.min())
+                mx[name][lang] = float(col.max())
+        b = (
+            bwt_scores(np.where(np.isnan(mat), 0.0, mat))
+            if mat.size else np.zeros(0)
+        )
+        bwt[name] = {
+            lang: float(b[j]) if j < len(b) else 0.0
+            for j, lang in enumerate(langs)
+        }
+    return bwt, avg, mn, mx
+
+
+def _score_langs(avg_scores, languages):
+    seen = {l for per_lang in avg_scores.values() for l in per_lang}
+    return [l for l in (languages or LANGUAGES) if l in seen]
+
+
+def _grid(plt, n):
+    if n == 4:  # the reference's 2x2 special case for 4 panels
+        fig, axs = plt.subplots(2, 2, figsize=(12, 10), sharey=True)
+        return fig, list(axs.flatten())
+    fig, axs = plt.subplots(
+        1, n, figsize=(max(6, 5 * n), 5), sharey=True, squeeze=False
+    )
+    return fig, list(axs[0])
+
+
+def _draw_series(ax, kind, series, x, langs):
+    """One panel: ``series`` is [(label, avg, lo, hi)] per line, values
+    keyed by lang; ``kind`` picks the mark (line/shaded/errbar/bwt)."""
+    for i, (label, av, lo, hi) in enumerate(series):
+        y = np.array([av.get(l, np.nan) for l in langs])
+        if kind == "line" or kind == "bwt":
+            ax.plot(x, y, marker="o", label=label)
+        elif kind == "shaded":
+            ax.plot(x, y, marker="o", label=label)
+            ax.fill_between(
+                x,
+                [lo.get(l, np.nan) for l in langs],
+                [hi.get(l, np.nan) for l in langs],
+                alpha=0.2,
+            )
+        elif kind == "errbar":
+            lower = y - np.array([lo.get(l, np.nan) for l in langs])
+            upper = np.array([hi.get(l, np.nan) for l in langs]) - y
+            ax.errorbar(
+                x + i * 0.1, y, yerr=[lower, upper], fmt="o-", capsize=5,
+                label=label,
+            )
+    ax.set_xticks(x)
+    ax.set_xticklabels(langs, rotation=45)
+    ax.set_xlabel("Language")
+    ax.grid(True)
+    ax.legend(fontsize=7)
+
+
+def _draw_box(ax, groups, langs):
+    """Segment box plot: WER over the first n/3, 2n/3, n languages, one box
+    per (segment, group) with per-group colors (results.py:594-668)."""
+    from matplotlib import cm, colors as mcolors
+
+    n = len(langs)
+    segments = [max(n // 3, 1), max(2 * n // 3, 1), n]
+    cmap = cm.get_cmap("tab10", max(len(groups), 1))
+    data, positions, box_colors = [], [], []
+    for seg_idx, seg in enumerate(segments):
+        for g_idx, (label, av) in enumerate(groups):
+            data.append([av[l] for l in langs[:seg] if l in av] or [np.nan])
+            positions.append(seg_idx * (len(groups) + 1) + g_idx)
+            box_colors.append(mcolors.to_hex(cmap(g_idx)))
+    box = ax.boxplot(
+        data, positions=positions, widths=0.6, patch_artist=True,
+        showmeans=True,
+    )
+    for patch, color in zip(box["boxes"], box_colors):
+        patch.set_facecolor(color)
+    centers = [
+        i * (len(groups) + 1) + (len(groups) - 1) / 2
+        for i in range(len(segments))
+    ]
+    ax.set_xticks(centers)
+    ax.set_xticklabels([str(s) for s in segments])
+    ax.set_xlabel("Languages")
+    ax.grid(True)
+    import matplotlib.pyplot as plt
+
+    handles = [
+        plt.Line2D(
+            [], [], color=box_colors[i], marker="s", linestyle="None",
+            label=groups[i][0],
+        )
+        for i in range(len(groups))
+    ]
+    ax.legend(handles=handles, fontsize=7)
+
+
+def plot_stats(
+    runs: dict[str, list[dict]], out_dir: str, decoder: str = "rnnt",
+    metrics=("avg",), split: str = "val", languages=None,
+):
+    """Reference `updated_plot_stats` (results.py:433-680): five PDFs in
+    ``out_dir``; one panel per metric variant, one line/box per run."""
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    scores = {
+        m: calc_scores(runs, decoder, m, split, languages) for m in metrics
+    }
+    langs = _score_langs(scores[metrics[0]][1], languages)
+    if not langs:
+        return
+    x = np.arange(len(langs))
+
+    for kind, fname, title in (
+        ("line", "wer_line_plot.pdf", "WER"),
+        ("shaded", "wer_shaded_plot.pdf", "WER Min/Max"),
+        ("errbar", "wer_error_bars_plot.pdf", "WER Min-Avg-Max"),
+        ("bwt", "bwt_plot.pdf", "Backward Transfer (BWT)"),
+    ):
+        fig, axs = _grid(plt, len(metrics))
+        for ax, m in zip(axs, metrics):
+            bwt, av, lo, hi = scores[m]
+            src = bwt if kind == "bwt" else av
+            series = [
+                (run, src[run], lo.get(run, {}), hi.get(run, {}))
+                for run in runs if run in src
+            ]
+            _draw_series(ax, kind, series, x, langs)
+            ax.set_title(f"{METRIC_TITLES[m]} {'BWT' if kind == 'bwt' else 'WER'}")
+        axs[0].set_ylabel("BWT" if kind == "bwt" else "WER")
+        fig.suptitle(title)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, fname), format="pdf",
+                    bbox_inches="tight", transparent=True)
+        plt.close(fig)
+
+    fig, axs = _grid(plt, len(metrics))
+    for ax, m in zip(axs, metrics):
+        _, av, _, _ = scores[m]
+        _draw_box(ax, [(run, av[run]) for run in runs if run in av], langs)
+        ax.set_title(f"{METRIC_TITLES[m]} WER Box Plot")
+    axs[0].set_ylabel("WER")
+    fig.suptitle("WER Box Plot")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "wer_box_plot.pdf"), format="pdf",
+                bbox_inches="tight", transparent=True)
+    plt.close(fig)
+
+
+def plot_stats_multi(
+    runs: dict[str, list[dict]], out_dir: str, decoder: str = "rnnt",
+    split: str = "val", languages=None, metrics=("", "noisy"),
+):
+    """Reference `updated_plot_stats_multi` (results.py:700-934): five PDFs;
+    one panel PER RUN, normal-vs-noisy lines inside each panel."""
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    scores = {
+        m: calc_scores(runs, decoder, m, split, languages) for m in metrics
+    }
+    langs = _score_langs(scores[metrics[0]][1], languages)
+    if not langs:
+        return
+    x = np.arange(len(langs))
+    run_names = list(runs)
+
+    for kind, fname, title in (
+        ("line", "wer_line_plot.pdf", "WER (Normal vs Noisy)"),
+        ("shaded", "wer_shaded_plot.pdf", "WER Min/Max (Normal vs Noisy)"),
+        ("errbar", "wer_error_bars_plot.pdf", "WER (Normal vs Noisy)"),
+        ("bwt", "bwt_plot.pdf", "BWT (Normal vs Noisy)"),
+    ):
+        fig, axs = _grid(plt, len(run_names))
+        for ax, run in zip(axs, run_names):
+            series = []
+            for m in metrics:
+                bwt, av, lo, hi = scores[m]
+                src = bwt if kind == "bwt" else av
+                if run in src:
+                    series.append(
+                        (METRIC_TITLES[m], src[run], lo.get(run, {}),
+                         hi.get(run, {}))
+                    )
+            _draw_series(ax, kind, series, x, langs)
+            ax.set_title(run)
+        axs[0].set_ylabel("BWT" if kind == "bwt" else "WER")
+        fig.suptitle(title)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, fname), format="pdf",
+                    bbox_inches="tight", transparent=True)
+        plt.close(fig)
+
+    fig, axs = _grid(plt, len(run_names))
+    for ax, run in zip(axs, run_names):
+        groups = [
+            (METRIC_TITLES[m], scores[m][1][run])
+            for m in metrics if run in scores[m][1]
+        ]
+        _draw_box(ax, groups, langs)
+        ax.set_title(run)
+    axs[0].set_ylabel("WER")
+    fig.suptitle("WER Box Plot (Normal vs Noisy)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "wer_box_plot.pdf"), format="pdf",
+                bbox_inches="tight", transparent=True)
+    plt.close(fig)
+
+
 def generate_report(
-    run_dirs: dict[str, str], out_dir: str, languages=None
+    run_dirs: dict[str, str], out_dir: str, languages=None,
+    families: dict[str, list[str]] | None = None,
 ) -> dict:
     """Full pipeline: run dirs -> summary json + PDF families
-    (reference results.py:1003-1086)."""
+    (reference results.py:1003-1086).
+
+    Emits the reference's result-dir structure: `{rnnt,ctc}_benchmark/`
+    (all runs, avg metric), `all_comparison_noisy/` (per-run
+    normal-vs-noisy panels), plus one `<name>_ablation/` dir per entry in
+    ``families`` ({name: [run-name substrings]}) — e.g.
+    {"ewc": ["ewc", "naive"]} reproduces `ewc_ablation/`. Epoch sweeps are
+    the same mechanism with runs named per epoch count
+    (`*_epoch_vs_wer/` in the reference results tree)."""
     os.makedirs(out_dir, exist_ok=True)
     runs = {
         name: load_run_metrics(os.path.join(d, "metrics.jsonl"))
@@ -240,4 +491,22 @@ def generate_report(
             runs, os.path.join(out_dir, f"{dec}_box.pdf"), decoder=dec,
             languages=languages,
         )
+        plot_stats(
+            runs, os.path.join(out_dir, f"{dec}_benchmark"), decoder=dec,
+            metrics=("avg",), languages=languages,
+        )
+    plot_stats_multi(
+        runs, os.path.join(out_dir, "all_comparison_noisy"),
+        languages=languages,
+    )
+    for fam, patterns in (families or {}).items():
+        sel = {
+            name: recs for name, recs in runs.items()
+            if any(p in name for p in patterns)
+        }
+        if sel:
+            plot_stats(
+                sel, os.path.join(out_dir, f"{fam}_ablation"),
+                metrics=("avg",), languages=languages,
+            )
     return summaries

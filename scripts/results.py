@@ -21,6 +21,12 @@ def main(argv=None):
     ap.add_argument("runs", nargs="+", help="run dir or name=dir")
     ap.add_argument("--out", default="results_report")
     ap.add_argument("--languages", nargs="*", default=None)
+    ap.add_argument(
+        "--family", action="append", default=[],
+        help="ablation dir spec name=substr[,substr...] — e.g. "
+        "--family ewc=ewc,naive emits ewc_ablation/ over matching runs "
+        "(reference results/ dir structure)",
+    )
     args = ap.parse_args(argv)
 
     run_dirs = {}
@@ -30,7 +36,13 @@ def main(argv=None):
         else:
             name, d = os.path.basename(os.path.normpath(spec)), spec
         run_dirs[name] = d
-    summaries = generate_report(run_dirs, args.out, args.languages)
+    families = {}
+    for spec in args.family:
+        name, pats = spec.split("=", 1)
+        families[name] = pats.split(",")
+    summaries = generate_report(
+        run_dirs, args.out, args.languages, families=families
+    )
     print(json.dumps(
         {name: {dec: s[dec]["bwt"] for dec in s} for name, s in
          summaries.items()},
