@@ -81,3 +81,85 @@ def test_streaming_emission_schedule(causal_setup, rng):
     # ~8 frames per 32-mel chunk; flush emits only the halo tail
     assert n_final <= 2
     assert sum(emitted_per_step) + n_final == (T - 1) // 4 + 1
+
+
+# ---------------------------------------------------------------------------
+# cache-aware streaming (per-layer attention/conv caches, O(chunk)/step)
+# ---------------------------------------------------------------------------
+
+from indic_cl_asr_tpu.models.streaming import (  # noqa: E402
+    CacheAwareStreamer,
+    stream_full_utterance_cached,
+)
+
+
+def _enc_vars(variables):
+    return {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+
+
+def test_cache_aware_matches_offline(causal_setup, rng):
+    cfg, model, variables = causal_setup
+    B, T = 2, 192
+    mel = jnp.asarray(
+        rng.standard_normal((B, cfg.encoder.feat_in, T)), jnp.float32
+    )
+    offline, _ = model.apply(
+        variables, mel, jnp.full((B,), T, jnp.int32), False, method="encode"
+    )
+    streamer = CacheAwareStreamer(cfg, chunk_mel=32)
+    streamed = stream_full_utterance_cached(streamer, _enc_vars(variables), mel)
+    assert streamed.shape == (B, T // 4, cfg.encoder.d_model)
+    np.testing.assert_allclose(
+        streamed, np.asarray(offline)[:, : T // 4], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_cache_aware_matches_offline_scan_layout(rng):
+    """Same parity through the scanned (stack/layers) param layout."""
+    import dataclasses
+
+    enc = ConformerConfig(
+        feat_in=32, n_layers=3, d_model=64, n_heads=4,
+        ff_expansion_factor=2, conv_kernel_size=7, subsampling_factor=4,
+        dropout=0.0, dropout_att=0.0, dropout_pre_encoder=0.0,
+        att_context_size=(8, 0), causal_conv=True, scan_layers=True,
+    )
+    cfg = tiny_config(encoder=enc)
+    model, variables = init_model(cfg, jax.random.PRNGKey(1))
+    B, T = 1, 128
+    mel = jnp.asarray(
+        rng.standard_normal((B, enc.feat_in, T)), jnp.float32
+    )
+    offline, _ = model.apply(
+        variables, mel, jnp.full((B,), T, jnp.int32), False, method="encode"
+    )
+    streamer = CacheAwareStreamer(cfg, chunk_mel=16)
+    streamed = stream_full_utterance_cached(streamer, _enc_vars(variables), mel)
+    np.testing.assert_allclose(
+        streamed, np.asarray(offline)[:, : T // 4], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_cache_aware_chunk_size_invariance(causal_setup, rng):
+    """Different chunk sizes must produce identical streams."""
+    cfg, model, variables = causal_setup
+    B, T = 1, 128
+    mel = jnp.asarray(
+        rng.standard_normal((B, cfg.encoder.feat_in, T)), jnp.float32
+    )
+    ev = _enc_vars(variables)
+    a = stream_full_utterance_cached(CacheAwareStreamer(cfg, 16), ev, mel)
+    b = stream_full_utterance_cached(CacheAwareStreamer(cfg, 64), ev, mel)
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
+def test_cache_aware_rejects_noncausal():
+    enc = ConformerConfig(
+        feat_in=32, n_layers=2, d_model=64, n_heads=4,
+        att_context_size=(-1, -1), causal_conv=False,
+    )
+    with pytest.raises(AssertionError):
+        CacheAwareStreamer(tiny_config(encoder=enc), chunk_mel=32)
