@@ -78,6 +78,16 @@ class ConformerConfig:
     # (HTTP 413 body-size limit). Param tree changes to
     # encoder/stack/layers/<leaf>[L, ...].
     scan_layers: bool = False
+    # Longformer-style local+global attention (reference
+    # multi_head_attention.py:253 RelPositionMultiHeadAttentionLongformer):
+    # with global_tokens=G > 0, tokens at 0, s, 2s, ... (G-1)s attend
+    # to/from every valid position (content-only scores, optionally via
+    # separate q/k/v projections); all other tokens see the banded
+    # att_context_size window plus the global keys. Positions are STATIC,
+    # so no dynamic index gathers are needed on TPU.
+    global_tokens: int = 0
+    global_tokens_spacing: int = 1
+    global_attn_separate: bool = False
     dtype: Any = jnp.float32  # compute dtype
 
     @property
@@ -221,21 +231,93 @@ class RelPosSelfAttention(nn.Module):
         bd = _rel_shift(bd)
         scores = (ac + bd) / math.sqrt(D)  # fp32
 
-        if att_mask is not None:
-            scores = jnp.where(att_mask[:, None, :, :], scores, -1e9)
+        mask = att_mask[:, None, :, :] if att_mask is not None else None
+        if cfg.global_tokens > 0:
+            scores, mask, out_override = self._global_token_scores(
+                x, q, k, v, scores, att_mask
+            )
+        else:
+            out_override = None
+
+        if mask is not None:
+            scores = jnp.where(mask, scores, -1e9)
         attn = jax.nn.softmax(scores, axis=-1)
-        if att_mask is not None:
+        if mask is not None:
             # fully-masked (padding) query rows attend to nothing
-            attn = jnp.where(att_mask[:, None, :, :], attn, 0.0)
+            attn = jnp.where(mask, attn, 0.0)
         attn = nn.Dropout(cfg.dropout_att)(
             attn, deterministic=deterministic
         ).astype(cfg.dtype)
 
-        out = jnp.einsum(
-            "bhts,bshd->bthd", attn, v, preferred_element_type=jnp.float32
-        ).astype(cfg.dtype)
+        if out_override is not None:
+            v, row_sel, gv = out_override
+            out_local = jnp.einsum(
+                "bhts,bshd->bthd", attn, v,
+                preferred_element_type=jnp.float32,
+            )
+            out_glob = jnp.einsum(
+                "bhts,bshd->bthd", attn, gv,
+                preferred_element_type=jnp.float32,
+            )
+            out = jnp.where(
+                row_sel[None, :, None, None], out_glob, out_local
+            ).astype(cfg.dtype)
+        else:
+            out = jnp.einsum(
+                "bhts,bshd->bthd", attn, v, preferred_element_type=jnp.float32
+            ).astype(cfg.dtype)
         out = out.reshape(B, T, cfg.d_model)
         return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear_out")(out)
+
+    def _global_token_scores(self, x, q, k, v, scores, att_mask):
+        """Longformer global-token pass (static positions).
+
+        Reference semantics (multi_head_attention.py:305-466): every token
+        also attends to the G global keys (content-only scores, global
+        projections when `global_attn_separate`), and global-token rows
+        attend to ALL valid positions with their outputs drawn from the
+        global values. One documented difference from the reference: an
+        in-band global key contributes a single (global) score column here,
+        where NeMo's concatenation double-counts it in the softmax."""
+        cfg = self.cfg
+        H, D = cfg.n_heads, cfg.d_model // cfg.n_heads
+        B, T, _ = x.shape
+        g_pos = np.arange(cfg.global_tokens) * cfg.global_tokens_spacing
+        g_pos = g_pos[g_pos < T]
+        is_g = np.zeros((T,), bool)
+        is_g[g_pos] = True
+        is_g = jnp.asarray(is_g)
+
+        if cfg.global_attn_separate:
+            gq = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="global_q")(x)
+            gk = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="global_k")(x)
+            gv = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="global_v")(x)
+            gq = gq.reshape(B, T, H, D)
+            gk = gk.reshape(B, T, H, D)
+            gv = gv.reshape(B, T, H, D)
+        else:
+            gq, gk, gv = q, k, v  # shared projections
+
+        gscore = jnp.einsum(
+            "bthd,bshd->bhts", gq, gk, preferred_element_type=jnp.float32
+        ) / math.sqrt(D)
+
+        if att_mask is not None:
+            # per-position validity: the band always contains distance 0
+            t_iota = jnp.arange(T)
+            diag = att_mask[:, t_iota, t_iota]
+        else:
+            diag = jnp.ones((B, T), bool)
+        valid_pair = diag[:, :, None] & diag[:, None, :]
+        local = att_mask if att_mask is not None else valid_pair
+        g_col = valid_pair & is_g[None, None, :]
+        g_row = valid_pair & is_g[None, :, None]
+        mask = (local | g_col | g_row)[:, None]
+        # scores/gscore are [B, H, T_q, T_k]: global links (row or column
+        # is a global token) use the content-only global scores
+        use_g = is_g[None, None, :, None] | is_g[None, None, None, :]
+        scores = jnp.where(use_g, gscore, scores)
+        return scores, mask, (v, is_g, gv)
 
 
 class ConformerConvModule(nn.Module):
