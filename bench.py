@@ -8,12 +8,30 @@ sbatch.sh 1x GPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no throughput number (SURVEY.md §6).
-We anchor against an ESTIMATED 20 utts/sec for the reference stack on one
-A100 (NeMo conformer-large hybrid, fused_batch_size 4, per-batch greedy
-WER inside training_step — the always-on decode alone caps it well below
-raw fwd/bwd speed). Replace with a measured number when the reference can
-be run; the estimate is recorded here so the ratio is auditable.
+vs_baseline: the reference publishes no throughput number and ships no
+timing logs (SURVEY.md §6; /root/reference/results has only PDFs), and no
+GPU exists in this environment to measure it, so the anchor is a DERIVED
+estimate, deliberately taken at the reference-favorable END of its range:
+
+  reference working point (config.yaml + sbatch.sh): 1x A100, batch 16,
+  bf16 AMP, fused_batch_size 4. Its training_step
+  (vendored hybrid_rnnt_ctc_models.py:860-915) per batch does:
+    * fwd+bwd: ~91 GFLOPs/utt at this config (analytic MAC count:
+      17-layer d=512 conformer ~23 GMAC fwd + subsample 2.9 + joint 1.6 +
+      heads; backward only over the 5 unfrozen layers + heads) ->
+      ~1.5 TFLOP/batch; even at a GENEROUS 25% of A100 bf16 peak
+      (312 TFLOPs) that is >= 19 ms/batch;
+    * batched greedy RNNT decode EVERY batch (compute_wer=True,
+      fused joint): ~T_enc=204 sequential pred-net+joint rounds, each a
+      handful of small kernel launches -> >= 200 ms/batch;
+    * per-batch CTC WER update/compute/reset, 8x gc.collect() +
+      torch.cuda.empty_cache() calls and 2 .item() syncs
+      (hybrid_rnnt_ctc_models.py:862-905) -> >= 100 ms/batch.
+  Total >= ~0.35 s/batch -> <= ~45 utts/s; 4x fused-batch serialization
+  of the joint pushes it lower. We anchor at 40 utts/s (the fast end).
+
+Replace with a measured number when the reference stack can be run on a
+GPU; the derivation is recorded here so the ratio is auditable.
 """
 
 import json
@@ -21,7 +39,7 @@ import os
 import sys
 import time
 
-REFERENCE_A100_UTTS_PER_SEC_ESTIMATE = 20.0
+REFERENCE_A100_UTTS_PER_SEC_ESTIMATE = 40.0
 
 # NOTE: do NOT enable the persistent compilation cache here — cached
 # artifacts compiled through the tunnel have faulted on reload
@@ -77,18 +95,28 @@ def main():
     state, aux = step(state, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(aux)
 
-    # Timing notes: steps CHAIN through the donated state, so the final
-    # loss value cannot materialize until every step has executed; syncing
-    # via an actual host read of that value (not block_until_ready, whose
-    # semantics we don't fully trust on the experimental tunneled backend)
-    # makes the measurement robust. n_iters amortizes the one host
-    # round-trip (~70 ms through the tunnel) to <1 ms/step.
-    n_iters = 100
+    # Timing notes: steps CHAIN through the donated state, so a block's
+    # final loss value cannot materialize until every step in it has
+    # executed; syncing via an actual host read of that value (not
+    # block_until_ready, whose semantics we don't fully trust on the
+    # experimental tunneled backend) makes the measurement robust. Reads
+    # are double-buffered one block behind: the dispatch queue stays
+    # bounded at <= 2 blocks (deep async chains have faulted the tunnel),
+    # the host round-trip overlaps the next block's device execution, and
+    # only the final read (~70 ms / 100 steps) lands in the window.
+    n_blocks, k = 10, 10
     t0 = time.time()
-    for i in range(n_iters):
-        state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
-    final_loss = float(aux["train_loss"])
-    dt = (time.time() - t0) / n_iters
+    i = 0
+    pending = None
+    for _ in range(n_blocks):
+        for _ in range(k):
+            state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
+            i += 1
+        if pending is not None:
+            float(pending)
+        pending = aux["train_loss"]
+    final_loss = float(pending)
+    dt = (time.time() - t0) / (n_blocks * k)
 
     utts_per_sec = B / dt
     result = {

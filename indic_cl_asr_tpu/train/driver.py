@@ -203,6 +203,7 @@ def run_sequence(
         for l, pts in curves.items():
             for t, b in pts:
                 logger.log({f"bwt/{l}": b, "bwt_task": t})
+        logger.log_bwt_curves(curves)  # wandb scatter/line + bwt_curves.json
 
         if cfg.save_weights:
             save_partial(

@@ -65,6 +65,45 @@ class Logger:
             self.log(avg)
         return avg
 
+    def log_bwt_curves(
+        self, curves: dict[str, list[tuple[int, float]]]
+    ) -> None:
+        """Per-language BWT scatter + line plots (reference
+        utils.py:213-240 `log_bwt_curves_wandb`). With live wandb this
+        uploads wandb.plot.scatter / line_series per language; the curves
+        are always also written to <dir>/bwt_curves.json so the offline
+        analysis pipeline (analysis/results.py) can render them."""
+        plain = {
+            lang: [[int(t), float(b)] for t, b in pts]
+            for lang, pts in curves.items()
+        }
+        with open(os.path.join(self.dir, "bwt_curves.json"), "w") as f:
+            json.dump(plain, f, indent=2)
+        if self._wandb is None:
+            return
+        import wandb
+
+        for lang, points in curves.items():
+            if not points:
+                continue
+            table = wandb.Table(
+                columns=["Task Index", "BWT"],
+                data=[[t, b] for t, b in points],
+            )
+            self._wandb.log({
+                f"BWT/{lang}/scatter": wandb.plot.scatter(
+                    table, "Task Index", "BWT",
+                    title=f"BWT vs Task Index ({lang})",
+                ),
+                f"BWT/{lang}/line": wandb.plot.line_series(
+                    xs=[t for t, _ in points],
+                    ys=[[b for _, b in points]],
+                    keys=[lang],
+                    title=f"BWT curve ({lang})",
+                    xname="Task Index",
+                ),
+            })
+
     def close(self) -> None:
         self._txt.close()
         self._jsonl.close()

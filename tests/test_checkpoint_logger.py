@@ -117,3 +117,18 @@ def test_sequence_checkpointer_full_train_state_roundtrip(tmp_path):
         ),
         restored.opt_state, state.opt_state,
     )
+
+
+def test_log_bwt_curves_writes_json(tmp_path):
+    import json as _json
+
+    from indic_cl_asr_tpu.train.logger import Logger
+
+    lg = Logger(output_dir=str(tmp_path), run_id="r", use_wandb=False)
+    curves = {"hindi": [(2, -0.05), (3, -0.1)], "bengali": []}
+    lg.log_bwt_curves(curves)
+    lg.close()
+    with open(f"{lg.dir}/bwt_curves.json") as f:
+        got = _json.load(f)
+    assert got["hindi"] == [[2, -0.05], [3, -0.1]]
+    assert got["bengali"] == []
