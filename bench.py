@@ -52,6 +52,17 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main():
+    # Pre-warm the tunneled worker with a trivial program FIRST: the
+    # per-process warmup (queueing/plugin bring-up, up to ~7 min observed)
+    # is a one-time cost, and the tunnel kills workers whose first program
+    # takes >~10 min total — paying warmup on a 1-op program keeps the big
+    # step's own compile window safely under that budget.
+    t_warm = time.time()
+    jax.block_until_ready(
+        jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16))
+    )
+    print(f"# worker warm in {time.time() - t_warm:.0f}s", file=sys.stderr)
+
     from indic_cl_asr_tpu.models.hybrid import flagship_config, init_model
     from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
     from indic_cl_asr_tpu.train.step import StepConfig, make_train_step

@@ -1,5 +1,6 @@
 import jax
 import numpy as np
+import pytest
 
 from indic_cl_asr_tpu.data.pipeline import BucketSpec
 from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
@@ -40,6 +41,7 @@ def make_transcriber(tmp_path, langs=("hindi", "tamil"), n=5):
     return tr, variables, data, langs
 
 
+@pytest.mark.slow
 def test_transcribe_shapes_and_determinism(tmp_path):
     tr, variables, data, langs = make_transcriber(tmp_path)
     entries = data["hindi"]

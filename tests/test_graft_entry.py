@@ -7,10 +7,12 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_contract_fresh_process():
     """The driver calls dryrun_multichip in an environment WITHOUT the test
     harness's device forcing (VERDICT r1 item 1: MULTICHIP_r01 failed because
@@ -38,6 +40,7 @@ def test_dryrun_multichip_contract_fresh_process():
     assert "dryrun_multichip OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, ".")
     import __graft_entry__ as g
@@ -45,6 +48,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts finite loss + step increment internally
 
 
+@pytest.mark.slow
 def test_entry_returns_jittable():
     sys.path.insert(0, ".")
     import __graft_entry__ as g

@@ -96,6 +96,7 @@ DRIVER_ARGS = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("driver", ["cl_ewc", "cl_mas", "cl_lwf"])
 def test_cl_drivers_end_to_end(tmp_path, driver):
     mod = __import__(driver)
@@ -112,6 +113,7 @@ def test_cl_drivers_end_to_end(tmp_path, driver):
             assert all(np.isfinite(v) for v in r.values())
 
 
+@pytest.mark.slow
 def test_finetune_driver(tmp_path):
     import finetune
 
@@ -126,6 +128,7 @@ def test_finetune_driver(tmp_path):
     assert len(res["val"]["hindi"]) == 2
 
 
+@pytest.mark.slow
 def test_cl_baseline_resume_from_sequence_dir(tmp_path):
     """Resume path through run_sequence: a completed 2-task run re-launched
     with --resume_dir must restore the checkpointed TrainState (the actual

@@ -150,6 +150,7 @@ class TestSharded:
         assert ln.spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_loss_invariant_to_repeat_padded_rows():
     """VERDICT r1 item 8: the pipeline pads the final partial bucket batch by
     repeating its last row; with n_valid masking, the loss must equal the
