@@ -123,3 +123,108 @@ def rnnt_greedy_decode(
         frame, carry0, (jnp.swapaxes(f_proj, 0, 1), jnp.arange(T))
     )
     return out, out_len
+
+
+def rnnt_greedy_decode_labelsync(
+    f_proj: jnp.ndarray,      # [B, T, H]
+    frame_lens: jnp.ndarray,  # [B]
+    lang_ids: jnp.ndarray,    # [B]
+    pred_step: Callable,
+    joint_step: Callable,
+    init_state,
+    *,
+    blank: int,
+    max_symbols: int = 10,
+    max_out: int = 256,
+    window: int = 32,
+):
+    """Label-looping batched greedy decode — same output as
+    `rnnt_greedy_decode`, restructured so sequential work scales with the
+    number of EMITTED tokens, not frames (the reference's loop-labels
+    batched decoder family, rnnt_greedy_decoding.py:518 spec).
+
+    Each round evaluates the joint over a WINDOW of frames against the
+    current (fixed) prediction-net output — one [B, W, H] x [H, V] MXU
+    matmul — and jumps straight to the first non-blank frame. Blank
+    stretches cost one round per `window` frames and ZERO prediction-net
+    steps; a pred step runs only after an emission. Typical rounds:
+    U + T/window vs the frame-synchronous decoder's T.
+    """
+    B, T, H = f_proj.shape
+    W = min(window, T)
+    # vectorize the per-frame joint over the window dimension
+    joint_win = jax.vmap(joint_step, in_axes=(1, None, None), out_axes=1)
+
+    g0, state0 = pred_step(jnp.full((B,), blank, jnp.int32), init_state)
+    f_pad = jnp.pad(f_proj, ((0, 0), (0, W), (0, 0)))
+
+    def tree_where(sel, new, old):
+        return jax.tree.map(
+            lambda n, o: jnp.where(
+                sel.reshape((B,) + (1,) * (n.ndim - 1)), n, o
+            ),
+            new, old,
+        )
+
+    def cond(c):
+        it = c[0]
+        t_ptr = c[1]
+        return (it < T + max_out) & jnp.any(t_ptr < frame_lens)
+
+    def body(c):
+        (it, t_ptr, out, out_len, last_label, g, state, sym_count,
+         last_t) = c
+        idx = t_ptr[:, None] + jnp.arange(W)[None]           # [B, W]
+        f_win = jnp.take_along_axis(f_pad, idx[..., None], axis=1)
+        logits = joint_win(f_win, g, lang_ids)               # [B, W, V1]
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        valid_w = idx < frame_lens[:, None]
+        nonblank = (pred != blank) & valid_w
+        has_nb = jnp.any(nonblank, axis=1)
+        w_star = jnp.argmax(nonblank, axis=1)
+        n_valid = jnp.sum(valid_w, axis=1).astype(jnp.int32)
+
+        active = t_ptr < frame_lens
+        t_emit = t_ptr + w_star
+        label = jnp.take_along_axis(pred, w_star[:, None], axis=1)[:, 0]
+
+        # per-frame symbol budget (frame-sync max_symbols semantics)
+        new_sym = jnp.where(t_emit == last_t, sym_count + 1, 1)
+        budget_ok = new_sym <= max_symbols
+        cap_ok = out_len < max_out
+        emit = active & has_nb & budget_ok & cap_ok
+        forced_adv = active & has_nb & ~(budget_ok & cap_ok)
+
+        b_iota = jnp.arange(B)
+        pos = jnp.clip(out_len, 0, max_out - 1)
+        out = out.at[b_iota, pos].set(
+            jnp.where(emit, label, out[b_iota, pos])
+        )
+        out_len = out_len + emit.astype(jnp.int32)
+
+        new_last = jnp.where(emit, label, last_label)
+        g_new, state_new = pred_step(new_last, state)
+        g = jnp.where(emit[:, None], g_new, g)
+        state = tree_where(emit, state_new, state)
+
+        t_next = jnp.where(
+            emit, t_emit,
+            jnp.where(
+                forced_adv, t_emit + 1, t_ptr + jnp.maximum(n_valid, 1)
+            ),
+        )
+        t_next = jnp.where(active, t_next, t_ptr)
+        sym_count = jnp.where(emit, new_sym, jnp.zeros_like(sym_count))
+        last_t = jnp.where(emit, t_emit, jnp.full_like(last_t, -1))
+        return (it + 1, t_next, out, out_len, new_last, g, state,
+                sym_count, last_t)
+
+    out0 = jnp.full((B, max_out), blank, jnp.int32)
+    c0 = (
+        jnp.int32(0), jnp.zeros((B,), jnp.int32), out0,
+        jnp.zeros((B,), jnp.int32), jnp.full((B,), blank, jnp.int32),
+        g0, state0, jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+    )
+    c = jax.lax.while_loop(cond, body, c0)
+    return c[2], c[3]

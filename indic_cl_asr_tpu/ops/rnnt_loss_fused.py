@@ -97,9 +97,15 @@ def rnnt_loss_fused(
             )
         else:
             seed = jnp.zeros((1,), jnp.int32)
+        # The backward kernel holds inp [Tc,U1,H] + logits + dlogits +
+        # d_inp in VMEM at once; Tc=64 blows the 16 MiB scoped-vmem stack
+        # at flagship H=640/V1=257 (measured: 19.59M requested on v5e).
+        # Tc=16 keeps every temporary under ~7 MiB. Fwd/bwd MUST share the
+        # chunking: dropout masks are seeded per (batch, chunk) index.
+        pallas_chunk = min(chunk_size, 16)
         lp_blank, lp_label = joint_slabs_pallas(
             f_proj, g_proj, head_w, head_b, labels_pad, seed,
-            blank, chunk_size, dropout_rate,
+            blank, pallas_chunk, dropout_rate,
             impl == "pallas_interpret",
         )
         nll = rnnt_nll_from_logprobs(

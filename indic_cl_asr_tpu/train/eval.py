@@ -27,7 +27,11 @@ from ..audio.features import FrontendConfig, log_mel_spectrogram
 from ..data.manifest import ManifestEntry
 from ..data.pipeline import BatchPipeline, BucketSpec
 from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
-from ..ops.decoding import ctc_greedy_decode, rnnt_greedy_decode
+from ..ops.decoding import (
+    ctc_greedy_decode,
+    rnnt_greedy_decode,
+    rnnt_greedy_decode_labelsync,
+)
 from .metrics import wer
 
 
@@ -49,6 +53,11 @@ class Transcriber:
     max_symbols: int = 10
     max_out: int = 256
     beam_size: int = 4
+    # "labelsync" (default): label-looping greedy — sequential rounds
+    # scale with emitted tokens, not frames (identical output, parity
+    # tested); "framesync": one joint+pred round per frame.
+    greedy_impl: str = "labelsync"
+    labelsync_window: int = 32
 
     def __post_init__(self):
         assert self.frontend.n_mels == self.model_cfg.encoder.feat_in, (
@@ -87,6 +96,12 @@ class Transcriber:
                     variables, f_t, g_t, li, method="joint_step"
                 )
 
+            if self.greedy_impl == "labelsync":
+                return rnnt_greedy_decode_labelsync(
+                    f_proj, enc_lens, lang_ids, pred_step, joint_step,
+                    None, blank=blank, max_symbols=self.max_symbols,
+                    max_out=self.max_out, window=self.labelsync_window,
+                )
             return rnnt_greedy_decode(
                 f_proj, enc_lens, lang_ids, pred_step, joint_step, None,
                 blank=blank, max_symbols=self.max_symbols,

@@ -156,3 +156,53 @@ class TestMetrics:
         assert scores[1] == pytest.approx(0.2 - 0.3)
         # task 2: hindi 0.2 -> 0.4, bengali 0.25 -> 0.35
         assert scores[2] == pytest.approx(((0.2 - 0.4) + (0.25 - 0.35)) / 2)
+
+
+class TestRNNTLabelSync:
+    def test_matches_frame_sync(self, decode_setup, rng):
+        from indic_cl_asr_tpu.ops.decoding import rnnt_greedy_decode_labelsync
+
+        cfg, model, variables, pred_step, joint_step = decode_setup
+        B, T = 4, 17
+        H = cfg.joint_hidden
+        f_proj = jnp.asarray(
+            rng.standard_normal((B, T, H)) * 2.0, jnp.float32
+        )
+        lens = jnp.array([17, 12, 5, 1], jnp.int32)
+        lang = jnp.asarray(rng.integers(0, cfg.n_langs, (B,)), jnp.int32)
+        want_ids, want_lens = rnnt_greedy_decode(
+            f_proj, lens, lang, pred_step, joint_step, None,
+            blank=cfg.blank_local, max_symbols=4, max_out=32,
+        )
+        for window in (1, 4, 32):
+            got_ids, got_lens = rnnt_greedy_decode_labelsync(
+                f_proj, lens, lang, pred_step, joint_step, None,
+                blank=cfg.blank_local, max_symbols=4, max_out=32,
+                window=window,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_lens), np.asarray(want_lens), err_msg=f"W={window}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_ids), np.asarray(want_ids), err_msg=f"W={window}"
+            )
+
+    def test_all_blank_emits_nothing(self, decode_setup):
+        from indic_cl_asr_tpu.ops.decoding import rnnt_greedy_decode_labelsync
+
+        cfg, model, variables, pred_step, joint_step = decode_setup
+        B, T, H = 2, 9, cfg.joint_hidden
+        # huge negative f_proj makes blank (bias-dominated) win everywhere
+        # for this random init? Not guaranteed — instead use a joint that
+        # always returns blank.
+        def joint_blank(f_t, g_t, li):
+            out = jnp.full((f_t.shape[0], cfg.vocab_per_lang + 1), -1.0)
+            return out.at[:, cfg.blank_local].set(1.0)
+
+        ids, lens = rnnt_greedy_decode_labelsync(
+            jnp.zeros((B, T, H)), jnp.array([9, 3]), jnp.zeros((B,), jnp.int32),
+            pred_step, joint_blank, None,
+            blank=cfg.blank_local, max_symbols=4, max_out=16, window=4,
+        )
+        assert np.asarray(lens).tolist() == [0, 0]
+        assert (np.asarray(ids) == cfg.blank_local).all()
