@@ -52,10 +52,73 @@ def save_partial(path: str, params: Any, trainable_mask: Any) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in subset.items()})
 
 
+def _restack_named(named: dict, n_layers: int) -> dict:
+    """{encoder/layers_<i>/...: arr} -> {encoder/stack/layers/...: [L,...]}"""
+    import re
+
+    groups: dict[tuple[str, str], dict[int, Any]] = {}
+    out = {}
+    for k, v in named.items():
+        m = re.match(r"(.*encoder)/layers_(\d+)/(.*)", k)
+        if m:
+            groups.setdefault((m.group(1), m.group(3)), {})[
+                int(m.group(2))
+            ] = v
+        else:
+            out[k] = v
+    for (prefix, suffix), by_layer in groups.items():
+        if sorted(by_layer) != list(range(n_layers)):
+            raise ValueError(
+                f"partial save misses encoder layers for {suffix}: "
+                f"have {sorted(by_layer)}"
+            )
+        out[f"{prefix}/stack/layers/{suffix}"] = np.stack(
+            [by_layer[i] for i in range(n_layers)]
+        )
+    return out
+
+
+def _unstack_named(named: dict) -> dict:
+    """{encoder/stack/layers/...: [L,...]} -> {encoder/layers_<i>/...}"""
+    import re
+
+    out = {}
+    for k, v in named.items():
+        m = re.match(r"(.*encoder)/stack/layers/(.*)", k)
+        if m:
+            for i in range(v.shape[0]):
+                out[f"{m.group(1)}/layers_{i}/{m.group(2)}"] = v[i]
+        else:
+            out[k] = v
+    return out
+
+
 def load_partial(path: str, params: Any) -> Any:
-    """Non-strict restore of a partial save into a full param tree."""
+    """Non-strict restore of a partial save into a full param tree.
+
+    Transparently converts between the unrolled (`encoder/layers_<i>`) and
+    scanned (`encoder/stack/layers` with a leading [L] axis) encoder
+    layouts, so partial saves restore across `scan_layers` settings."""
     with np.load(path) as data:
         named = {k: data[k] for k in data.files}
+    target_paths = set(named_leaves(params).keys())
+    target_scan = any("/stack/layers/" in p for p in target_paths)
+    saved_scan = any("/stack/layers/" in k for k in named)
+    saved_unrolled = any(
+        "encoder/layers_" in k for k in named
+    )
+    if target_scan and saved_unrolled:
+        import re
+
+        n_layers = 1 + max(
+            int(m.group(1))
+            for k in named
+            for m in [re.search(r"encoder/layers_(\d+)/", k)]
+            if m
+        )
+        named = _restack_named(named, n_layers)
+    elif not target_scan and saved_scan:
+        named = _unstack_named(named)
     return tree_update_from_named(params, named)
 
 

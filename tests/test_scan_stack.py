@@ -220,3 +220,43 @@ def test_convert_nemo_state_dict_scan_layout(rng):
         ):
             assert pw == pg
             np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
+def test_partial_save_restores_across_layouts(tmp_path):
+    """save_partial from one encoder layout loads into the other
+    (utils/checkpoint.py layout conversion)."""
+    import jax
+    from indic_cl_asr_tpu.models.conformer import ConformerEncoder
+    from indic_cl_asr_tpu.utils.checkpoint import load_partial, save_partial
+    from indic_cl_asr_tpu.utils.pytree import named_leaves
+
+    feats = jnp.zeros((1, TINY.feat_in, 32), jnp.float32)
+    lens = jnp.array([32], jnp.int32)
+    unrolled = {"encoder": ConformerEncoder(TINY).init(
+        jax.random.PRNGKey(0), feats, lens, train=False
+    )["params"]}
+    scanned_init = {"encoder": ConformerEncoder(SCAN).init(
+        jax.random.PRNGKey(7), feats, lens, train=False
+    )["params"]}
+    all_true = jax.tree.map(lambda _: True, unrolled)
+
+    # unrolled save -> scanned tree
+    p1 = str(tmp_path / "unrolled.npz")
+    save_partial(p1, unrolled, all_true)
+    got = load_partial(p1, scanned_init)
+    want = {"encoder": stack_encoder_layers(
+        unrolled["encoder"], TINY.n_layers
+    )}
+    for k, v in named_leaves(want).items():
+        np.testing.assert_allclose(
+            np.asarray(named_leaves(got)[k]), np.asarray(v), err_msg=k
+        )
+
+    # scanned save -> unrolled tree (round trip back)
+    p2 = str(tmp_path / "scanned.npz")
+    save_partial(p2, got, jax.tree.map(lambda _: True, got))
+    back = load_partial(p2, unrolled)
+    for k, v in named_leaves(unrolled).items():
+        np.testing.assert_allclose(
+            np.asarray(named_leaves(back)[k]), np.asarray(v), err_msg=k
+        )
