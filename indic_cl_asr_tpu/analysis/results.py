@@ -65,14 +65,20 @@ def collect_perf(
     per_task: dict[tuple[str, int], float] = {}
     for rec in records:
         task = rec.get("lang")
+        # wandb CSV exports surface missing cells as float NaN, not None
+        if not isinstance(task, (int, float)) or (
+            isinstance(task, float) and not np.isfinite(task)
+        ):
+            continue
         for key, value in rec.items():
             m = _PERF_RE.match(str(key))
             if not m or value is None:
                 continue
+            if isinstance(value, float) and not np.isfinite(value):
+                continue
             s, lang, dec, k = m.groups()
             if s == split and dec == decoder and k == kind:
-                if isinstance(task, (int, float)):
-                    per_task[(lang, int(task))] = float(value)
+                per_task[(lang, int(task))] = float(value)
     for (lang, task), wer in sorted(per_task.items(), key=lambda kv: kv[0][1]):
         out[lang].append(wer)
     return dict(out)
@@ -306,11 +312,12 @@ def _draw_series(ax, kind, series, x, langs):
 def _draw_box(ax, groups, langs):
     """Segment box plot: WER over the first n/3, 2n/3, n languages, one box
     per (segment, group) with per-group colors (results.py:594-668)."""
-    from matplotlib import cm, colors as mcolors
+    import matplotlib
+    from matplotlib import colors as mcolors
 
     n = len(langs)
     segments = [max(n // 3, 1), max(2 * n // 3, 1), n]
-    cmap = cm.get_cmap("tab10", max(len(groups), 1))
+    cmap = matplotlib.colormaps["tab10"].resampled(max(len(groups), 1))
     data, positions, box_colors = [], [], []
     for seg_idx, seg in enumerate(segments):
         for g_idx, (label, av) in enumerate(groups):
@@ -343,56 +350,72 @@ def _draw_box(ax, groups, langs):
     ax.legend(handles=handles, fontsize=7)
 
 
+def _render_family(
+    out_dir: str, panels, langs, title_suffix: str = "",
+):
+    """Render the reference's five-PDF family into ``out_dir``.
+
+    ``panels``: [(panel_title, series)] where series is
+    [(label, (bwt, avg, lo, hi))] — per-lang dicts for one line/box."""
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    x = np.arange(len(langs))
+    for kind, fname, title in (
+        ("line", "wer_line_plot.pdf", "WER"),
+        ("shaded", "wer_shaded_plot.pdf", "WER Min/Max"),
+        ("errbar", "wer_error_bars_plot.pdf", "WER Min-Avg-Max"),
+        ("bwt", "bwt_plot.pdf", "Backward Transfer (BWT)"),
+        ("box", "wer_box_plot.pdf", "WER Box Plot"),
+    ):
+        fig, axs = _grid(plt, len(panels))
+        for ax, (panel_title, series) in zip(axs, panels):
+            if kind == "box":
+                _draw_box(
+                    ax, [(lbl, av) for lbl, (_, av, _, _) in series], langs
+                )
+            else:
+                _draw_series(
+                    ax,
+                    kind,
+                    [
+                        (lbl, bwt if kind == "bwt" else av, lo, hi)
+                        for lbl, (bwt, av, lo, hi) in series
+                    ],
+                    x, langs,
+                )
+            ax.set_title(panel_title)
+        axs[0].set_ylabel("BWT" if kind == "bwt" else "WER")
+        fig.suptitle(title + title_suffix)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, fname), format="pdf",
+                    bbox_inches="tight", transparent=True)
+        plt.close(fig)
+
+
 def plot_stats(
     runs: dict[str, list[dict]], out_dir: str, decoder: str = "rnnt",
     metrics=("avg",), split: str = "val", languages=None,
 ):
     """Reference `updated_plot_stats` (results.py:433-680): five PDFs in
     ``out_dir``; one panel per metric variant, one line/box per run."""
-    plt = _plt()
-    os.makedirs(out_dir, exist_ok=True)
     scores = {
         m: calc_scores(runs, decoder, m, split, languages) for m in metrics
     }
     langs = _score_langs(scores[metrics[0]][1], languages)
     if not langs:
         return
-    x = np.arange(len(langs))
-
-    for kind, fname, title in (
-        ("line", "wer_line_plot.pdf", "WER"),
-        ("shaded", "wer_shaded_plot.pdf", "WER Min/Max"),
-        ("errbar", "wer_error_bars_plot.pdf", "WER Min-Avg-Max"),
-        ("bwt", "bwt_plot.pdf", "Backward Transfer (BWT)"),
-    ):
-        fig, axs = _grid(plt, len(metrics))
-        for ax, m in zip(axs, metrics):
-            bwt, av, lo, hi = scores[m]
-            src = bwt if kind == "bwt" else av
-            series = [
-                (run, src[run], lo.get(run, {}), hi.get(run, {}))
-                for run in runs if run in src
-            ]
-            _draw_series(ax, kind, series, x, langs)
-            ax.set_title(f"{METRIC_TITLES[m]} {'BWT' if kind == 'bwt' else 'WER'}")
-        axs[0].set_ylabel("BWT" if kind == "bwt" else "WER")
-        fig.suptitle(title)
-        fig.tight_layout()
-        fig.savefig(os.path.join(out_dir, fname), format="pdf",
-                    bbox_inches="tight", transparent=True)
-        plt.close(fig)
-
-    fig, axs = _grid(plt, len(metrics))
-    for ax, m in zip(axs, metrics):
-        _, av, _, _ = scores[m]
-        _draw_box(ax, [(run, av[run]) for run in runs if run in av], langs)
-        ax.set_title(f"{METRIC_TITLES[m]} WER Box Plot")
-    axs[0].set_ylabel("WER")
-    fig.suptitle("WER Box Plot")
-    fig.tight_layout()
-    fig.savefig(os.path.join(out_dir, "wer_box_plot.pdf"), format="pdf",
-                bbox_inches="tight", transparent=True)
-    plt.close(fig)
+    panels = []
+    for m in metrics:
+        bwt, av, lo, hi = scores[m]
+        panels.append((
+            f"{METRIC_TITLES[m]} WER",
+            [
+                (run, (bwt.get(run, {}), av[run], lo.get(run, {}),
+                       hi.get(run, {})))
+                for run in runs if run in av
+            ],
+        ))
+    _render_family(out_dir, panels, langs)
 
 
 def plot_stats_multi(
@@ -401,57 +424,25 @@ def plot_stats_multi(
 ):
     """Reference `updated_plot_stats_multi` (results.py:700-934): five PDFs;
     one panel PER RUN, normal-vs-noisy lines inside each panel."""
-    plt = _plt()
-    os.makedirs(out_dir, exist_ok=True)
     scores = {
         m: calc_scores(runs, decoder, m, split, languages) for m in metrics
     }
     langs = _score_langs(scores[metrics[0]][1], languages)
     if not langs:
         return
-    x = np.arange(len(langs))
-    run_names = list(runs)
-
-    for kind, fname, title in (
-        ("line", "wer_line_plot.pdf", "WER (Normal vs Noisy)"),
-        ("shaded", "wer_shaded_plot.pdf", "WER Min/Max (Normal vs Noisy)"),
-        ("errbar", "wer_error_bars_plot.pdf", "WER (Normal vs Noisy)"),
-        ("bwt", "bwt_plot.pdf", "BWT (Normal vs Noisy)"),
-    ):
-        fig, axs = _grid(plt, len(run_names))
-        for ax, run in zip(axs, run_names):
-            series = []
-            for m in metrics:
-                bwt, av, lo, hi = scores[m]
-                src = bwt if kind == "bwt" else av
-                if run in src:
-                    series.append(
-                        (METRIC_TITLES[m], src[run], lo.get(run, {}),
-                         hi.get(run, {}))
-                    )
-            _draw_series(ax, kind, series, x, langs)
-            ax.set_title(run)
-        axs[0].set_ylabel("BWT" if kind == "bwt" else "WER")
-        fig.suptitle(title)
-        fig.tight_layout()
-        fig.savefig(os.path.join(out_dir, fname), format="pdf",
-                    bbox_inches="tight", transparent=True)
-        plt.close(fig)
-
-    fig, axs = _grid(plt, len(run_names))
-    for ax, run in zip(axs, run_names):
-        groups = [
-            (METRIC_TITLES[m], scores[m][1][run])
-            for m in metrics if run in scores[m][1]
-        ]
-        _draw_box(ax, groups, langs)
-        ax.set_title(run)
-    axs[0].set_ylabel("WER")
-    fig.suptitle("WER Box Plot (Normal vs Noisy)")
-    fig.tight_layout()
-    fig.savefig(os.path.join(out_dir, "wer_box_plot.pdf"), format="pdf",
-                bbox_inches="tight", transparent=True)
-    plt.close(fig)
+    panels = []
+    for run in runs:
+        series = []
+        for m in metrics:
+            bwt, av, lo, hi = scores[m]
+            if run in av:
+                series.append((
+                    METRIC_TITLES[m],
+                    (bwt.get(run, {}), av[run], lo.get(run, {}),
+                     hi.get(run, {})),
+                ))
+        panels.append((run, series))
+    _render_family(out_dir, panels, langs, " (Normal vs Noisy)")
 
 
 def generate_report(

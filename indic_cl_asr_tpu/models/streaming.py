@@ -82,8 +82,11 @@ class StreamingEncoder:
         self.model = model
         self.cfg = model_cfg
         self.scfg = scfg
-        assert model_cfg.encoder.att_context_size[1] in (0, -1), (
-            "streaming assumes no right attention context"
+        assert model_cfg.encoder.att_context_size[1] == 0, (
+            "streaming assumes ZERO right attention context "
+            "(-1 means UNLIMITED right context: the emission schedule's "
+            "subsampling-halo-only rule would silently diverge from the "
+            "offline encoder)"
         )
 
         def encode_window(variables, mel_window, mel_valid):
