@@ -81,8 +81,9 @@ def _alpha_scan(lp_ext, skip_ok, valid_s):
 
     # the t=0 row is just init + lp[0]
     first = init + lp_ext[:, 0] + valid_add
+    # unroll=4: tiny [B, S] row bodies — loop overhead dominates
     _, rest = jax.lax.scan(
-        step, first, jnp.swapaxes(lp_ext[:, 1:], 0, 1)
+        step, first, jnp.swapaxes(lp_ext[:, 1:], 0, 1), unroll=4
     )
     return jnp.concatenate(
         [first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1
@@ -129,7 +130,7 @@ def _beta_scan(lp_ext, skip_ok, valid_s, t_lens, u_lens):
     ts = jnp.arange(T - 2, -1, -1)
     beta_last = jnp.where((T - 1 == t_lens[:, None] - 1), terminal, NEG_INF)
     lp_rev = jnp.swapaxes(lp_ext, 0, 1)[ts + 1]  # lp at t+1, descending t
-    _, rest = jax.lax.scan(step, beta_last, (lp_rev, ts))
+    _, rest = jax.lax.scan(step, beta_last, (lp_rev, ts), unroll=4)
     beta = jnp.concatenate(
         [jnp.flip(jnp.swapaxes(rest, 0, 1), 1), beta_last[:, None]], axis=1
     )

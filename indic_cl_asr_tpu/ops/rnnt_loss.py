@@ -152,7 +152,9 @@ def _alpha_scan(lpb, lpl):
         jnp.swapaxes(lpb_d, 0, 1)[:-1],  # diagonals 0..D-2 feed 1..D-1
         jnp.swapaxes(lpl_d, 0, 1)[:-1],
     )
-    _, rest = jax.lax.scan(step, alpha0, xs)
+    # unroll: the per-iteration while-loop bookkeeping dominates these
+    # tiny [B, U1] row updates; 4x unrolling quarters it (same math)
+    _, rest = jax.lax.scan(step, alpha0, xs, unroll=4)
     alpha_d = jnp.concatenate([alpha0[None], rest], axis=0)  # [D, B, U1]
     return _from_diagonals(jnp.swapaxes(alpha_d, 0, 1), T)
 
@@ -186,7 +188,9 @@ def _beta_scan(lpb, lpl, u_lens):
 
     ds = jnp.arange(D - 2, -1, -1)  # scan diagonals D-2 .. 0
     beta_last = jnp.where((D - 1 - u_iota) == T, exit_row, NEG_INF)
-    _, rest = jax.lax.scan(step, beta_last, (lpb_d[ds], lpl_d[ds], ds))
+    _, rest = jax.lax.scan(
+        step, beta_last, (lpb_d[ds], lpl_d[ds], ds), unroll=4
+    )
     # rest holds diagonals D-2..0; assemble [D, B, U1] in ascending order
     beta_d_all = jnp.concatenate(
         [jnp.flip(rest, 0), beta_last[None]], axis=0
