@@ -82,8 +82,12 @@ def main():
     tx = make_optimizer(lr=1e-4, trainable_mask=mask, stacked_freeze_till=12)
     state = create_train_state(variables, tx)
     step_cfg = StepConfig()
+    # BENCH_NO_DONATE=1: skip buffer donation — diagnostic fallback for
+    # the tunneled backend (donation is suspected in the 2026-08-17
+    # full-step faults; costs one extra state copy of HBM if used)
+    donate = () if os.environ.get("BENCH_NO_DONATE") == "1" else (0,)
     step = jax.jit(
-        make_train_step(model, cfg, step_cfg, tx), donate_argnums=0
+        make_train_step(model, cfg, step_cfg, tx), donate_argnums=donate
     )
 
     B, SECS, U = 16, 8, 48
