@@ -546,3 +546,83 @@ def stream_full_utterance_cached(
         x, state = streamer.step(enc_variables, state, mel[:, :, c0:c0 + C])
         outs.append(np.asarray(x))
     return np.concatenate(outs, axis=1)[:, : T // 4]
+
+
+class StreamingASR:
+    """End-to-end streaming recognizer: mel chunks in, an incremental
+    token stream out, at O(chunk) cost per step.
+
+    Combines `CacheAwareStreamer` (per-layer encoder caches) with the
+    streaming continuation of the batched greedy RNNT decoder
+    (ops/decoding.py `rnnt_greedy_decode(carry=..., t_offset=...)`), so
+    chunked decoding emits EXACTLY the tokens the offline pipeline
+    produces on a causal config (parity tested). The reference's streaming
+    story stops at encoder caches (`forward_for_export`,
+    conformer_encoder.py:449-493); the decoder continuation is ours.
+
+    The mel stream is the input contract: per-feature normalization is an
+    utterance-level statistic in the offline front-end, so a live
+    deployment must use a causal/streaming normalization variant — feed
+    this class whatever mel the serving stack produces.
+    """
+
+    def __init__(self, model, model_cfg, variables, *, chunk_mel: int = 64,
+                 max_symbols: int = 10, max_out: int = 256):
+        from ..ops.decoding import rnnt_greedy_decode
+
+        self.streamer = CacheAwareStreamer(model_cfg, chunk_mel)
+        self.variables = variables
+        self.blank = model_cfg.blank_local
+        self.max_out = max_out
+        self._enc_vars = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        }
+
+        def project(f):
+            return model.apply(variables, f, method="joint_project_enc")
+
+        def pred_step(last_label, state):
+            return model.apply(
+                variables, last_label, state, method="pred_step"
+            )
+
+        def joint_step(f_t, g_t, li):
+            return model.apply(variables, f_t, g_t, li, method="joint_step")
+
+        def decode_chunk(f_chunk, lang_ids, carry, t_offset, total_frames):
+            f_proj = project(f_chunk)
+            return rnnt_greedy_decode(
+                f_proj, total_frames, lang_ids, pred_step, joint_step,
+                None, blank=self.blank, max_symbols=max_symbols,
+                max_out=max_out, carry=carry, t_offset=t_offset,
+                return_carry=True,
+            )
+
+        self._decode = jax.jit(decode_chunk)
+        self._pred_step = pred_step
+
+    def init(self, batch_size: int):
+        return {
+            "enc": self.streamer.init(batch_size),
+            "dec": None,
+            "frames": 0,
+        }
+
+    def step(self, state, mel_chunk: jnp.ndarray, lang_ids: jnp.ndarray):
+        """mel_chunk [B, n_mels, chunk_mel] ->
+        ((tokens [B, max_out], lens [B]) so far, new state)."""
+        enc_chunk, enc_state = self.streamer.step(
+            self._enc_vars, state["enc"], mel_chunk
+        )
+        C = enc_chunk.shape[1]
+        total = jnp.full((mel_chunk.shape[0],), state["frames"] + C,
+                         jnp.int32)
+        out, out_len, carry = self._decode(
+            enc_chunk, lang_ids, state["dec"], jnp.int32(state["frames"]),
+            total,
+        )
+        new_state = {
+            "enc": enc_state, "dec": carry, "frames": state["frames"] + C,
+        }
+        return (out, out_len), new_state

@@ -68,14 +68,31 @@ def rnnt_greedy_decode(
     blank: int,
     max_symbols: int = 10,
     max_out: int = 256,
+    carry=None,               # continuation from a previous chunk (streaming)
+    t_offset: int | jnp.ndarray = 0,  # absolute index of f_proj[:, 0]
+    return_carry: bool = False,
 ):
-    """Batched greedy transducer decode -> (ids [B, max_out], lens [B])."""
+    """Batched greedy transducer decode -> (ids [B, max_out], lens [B]).
+
+    Streaming continuation: pass ``carry=`` the value returned with
+    ``return_carry=True`` from the previous chunk and ``t_offset=`` the
+    absolute frame index of this chunk's first frame; the token buffer,
+    last label and prediction-net state continue across chunks, so
+    chunk-by-chunk decoding of an encoder stream equals one offline decode
+    over the concatenated frames."""
     B, T, H = f_proj.shape
 
-    # the prediction-net output for the current last_label is cached and
-    # only recomputed after an emission (one pred step per frame when the
-    # frame is all-blank)
-    g0, state0 = pred_step(jnp.full((B,), blank, jnp.int32), init_state)
+    if carry is None:
+        # the prediction-net output for the current last_label is cached
+        # and only recomputed after an emission (one pred step per frame
+        # when the frame is all-blank)
+        g0, state0 = pred_step(jnp.full((B,), blank, jnp.int32), init_state)
+        carry = (
+            jnp.full((B, max_out), blank, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), blank, jnp.int32),
+            g0, state0,
+        )
 
     def frame(carry, xs):
         out, out_len, last_label, g, state = carry
@@ -116,12 +133,13 @@ def rnnt_greedy_decode(
         )
         return (out, out_len, last_label, g, state), None
 
-    out0 = jnp.full((B, max_out), blank, jnp.int32)
-    carry0 = (out0, jnp.zeros((B,), jnp.int32),
-              jnp.full((B,), blank, jnp.int32), g0, state0)
-    (out, out_len, _, _, _), _ = jax.lax.scan(
-        frame, carry0, (jnp.swapaxes(f_proj, 0, 1), jnp.arange(T))
+    final_carry, _ = jax.lax.scan(
+        frame, carry,
+        (jnp.swapaxes(f_proj, 0, 1), t_offset + jnp.arange(T)),
     )
+    out, out_len = final_carry[0], final_carry[1]
+    if return_carry:
+        return out, out_len, final_carry
     return out, out_len
 
 

@@ -163,3 +163,46 @@ def test_cache_aware_rejects_noncausal():
     )
     with pytest.raises(AssertionError):
         CacheAwareStreamer(tiny_config(encoder=enc), chunk_mel=32)
+
+
+def test_streaming_asr_matches_offline_greedy(causal_setup, rng):
+    """End-to-end: chunked StreamingASR emits exactly the offline greedy
+    tokens (causal encoder + decoder-state continuation)."""
+    from indic_cl_asr_tpu.models.streaming import StreamingASR
+    from indic_cl_asr_tpu.ops.decoding import rnnt_greedy_decode
+
+    cfg, model, variables = causal_setup
+    B, T = 2, 128
+    mel = jnp.asarray(
+        rng.standard_normal((B, cfg.encoder.feat_in, T)) * 2.0, jnp.float32
+    )
+    lang = jnp.zeros((B,), jnp.int32)
+
+    # offline: encode + greedy
+    f, enc_lens = model.apply(
+        variables, mel, jnp.full((B,), T, jnp.int32), False, method="encode"
+    )
+    f_proj = model.apply(variables, f, method="joint_project_enc")
+
+    def pred_step(last_label, state):
+        return model.apply(variables, last_label, state, method="pred_step")
+
+    def joint_step(f_t, g_t, li):
+        return model.apply(variables, f_t, g_t, li, method="joint_step")
+
+    want_ids, want_lens = rnnt_greedy_decode(
+        f_proj[:, : T // 4], jnp.full((B,), T // 4, jnp.int32), lang,
+        pred_step, joint_step, None,
+        blank=cfg.blank_local, max_symbols=4, max_out=64,
+    )
+
+    asr = StreamingASR(
+        model, cfg, variables, chunk_mel=32, max_symbols=4, max_out=64
+    )
+    state = asr.init(B)
+    for c0 in range(0, T, 32):
+        (ids, lens), state = asr.step(state, mel[:, :, c0:c0 + 32], lang)
+
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(want_lens))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
+    # tokens must appear incrementally usable at every step (monotone lens)
