@@ -51,6 +51,10 @@ class FrontendConfig:
     pad_to: int = 16
     pad_value: float = 0.0
     std_floor: float = 1e-5
+    # spectrum backend: "auto" = matmul rDFT on TPU (two [n_fft, n_bins]
+    # MXU matmuls — n_fft is tiny, so this beats routing through the FFT
+    # custom call), jnp.fft.rfft elsewhere; force with "fft" / "matmul".
+    fft_impl: str = "auto"
 
 
 # --------------------------------------------------------------------------
@@ -162,8 +166,36 @@ def _stft_magsq(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         + jax.lax.broadcasted_iota(jnp.int32, (n_frames, cfg.n_fft), 1)
     )  # [T, n_fft]
     frames = x[:, frame_idx] * full_win  # [B, T, n_fft]
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)  # [B, T, n_bins]
-    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    frames = frames.astype(jnp.float32)
+    impl = cfg.fft_impl
+    if impl == "auto":
+        impl = "matmul" if jax.default_backend() == "tpu" else "fft"
+    if impl == "matmul":
+        # real DFT as two MXU matmuls with an on-device cos/sin basis —
+        # n_fft=512 is far below the scale where an FFT wins on TPU, and
+        # this keeps the program free of the fft custom call
+        n_bins = cfg.n_fft // 2 + 1
+        # basis angles via (n*k mod n_fft) in exact int math, so every
+        # angle stays < 2*pi and f32 cos/sin are accurate to ~1e-7
+        n = jnp.arange(cfg.n_fft, dtype=jnp.int32)[:, None]
+        k = jnp.arange(n_bins, dtype=jnp.int32)[None, :]
+        ang = (-2.0 * math.pi / cfg.n_fft) * (
+            (n * k) % cfg.n_fft
+        ).astype(jnp.float32)  # [n_fft, n_bins]
+        re = jnp.einsum(
+            "btn,nk->btk", frames, jnp.cos(ang),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "btn,nk->btk", frames, jnp.sin(ang),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        mag2 = re ** 2 + im ** 2
+    else:
+        spec = jnp.fft.rfft(frames, axis=-1)  # [B, T, n_bins]
+        mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     if cfg.mag_power != 2.0:
         mag2 = jnp.power(jnp.sqrt(jnp.maximum(mag2, 0.0)), cfg.mag_power)
     return jnp.transpose(mag2, (0, 2, 1))  # [B, n_bins, T]

@@ -168,3 +168,29 @@ class TestSpecAugment:
             out = spec_augment(spec, lengths, jax.random.PRNGKey(seed), cfg)
             fractions.append(float(np.asarray(out).mean()))
         assert 0.3 < np.mean(fractions) < 1.0
+
+
+def test_matmul_rdft_matches_fft(rng):
+    """The TPU matmul-rDFT spectrum path equals jnp.fft.rfft."""
+    import dataclasses
+
+    from indic_cl_asr_tpu.audio.features import (
+        FrontendConfig,
+        log_mel_spectrogram,
+    )
+
+    audio = jnp.asarray(
+        0.3 * rng.standard_normal((2, 16000)), jnp.float32
+    )
+    lens = jnp.array([16000, 12000], jnp.int32)
+    base = FrontendConfig(dither=0.0)
+    mel_fft, l1 = log_mel_spectrogram(
+        audio, lens, dataclasses.replace(base, fft_impl="fft")
+    )
+    mel_mm, l2 = log_mel_spectrogram(
+        audio, lens, dataclasses.replace(base, fft_impl="matmul")
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(
+        np.asarray(mel_mm), np.asarray(mel_fft), atol=2e-3, rtol=1e-4
+    )
