@@ -81,7 +81,14 @@ def main():
     mask = conformer_freeze_mask(variables["params"], 12)
     tx = make_optimizer(lr=1e-4, trainable_mask=mask, stacked_freeze_till=12)
     state = create_train_state(variables, tx)
-    step_cfg = StepConfig()
+    # rnnt_chunk_size 32, not the training default 64: the current
+    # tunnel/libtpu version MISCOMPILES (kernel-faults) the composed
+    # encoder+joint program at Tc=64 tile shapes, while 16/32 run clean
+    # and the loss is exactly chunk-size-invariant (tested). Bisected
+    # 2026-08-17; see docs/ROADMAP.md infra notes.
+    step_cfg = StepConfig(
+        rnnt_chunk_size=int(os.environ.get("BENCH_RNNT_CHUNK", "32"))
+    )
     # BENCH_NO_DONATE=1: skip buffer donation — diagnostic fallback for
     # the tunneled backend (donation is suspected in the 2026-08-17
     # full-step faults; costs one extra state copy of HBM if used)
