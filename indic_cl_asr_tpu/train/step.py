@@ -41,7 +41,11 @@ class StepConfig:
     frontend: FrontendConfig = FrontendConfig()
     spec_augment: SpecAugmentConfig = SpecAugmentConfig()
     ctc_loss_weight: float = 0.5
-    rnnt_chunk_size: int = 64
+    # 32 (not 64): the current tunnel/libtpu miscompiles the composed
+    # encoder+joint program at Tc=64 tile shapes (docs/ROADMAP.md
+    # 2026-08-17); 32 is equally MXU-saturating and the loss is
+    # exactly chunk-size-invariant
+    rnnt_chunk_size: int = 32
     use_spec_augment: bool = True
     rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
     ctc_impl: str = "native"  # "native" (scan lattice) | "optax"

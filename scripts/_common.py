@@ -222,7 +222,7 @@ def build_all(cfg, ns):
         frontend=FrontendConfig(n_mels=model_cfg.encoder.feat_in),
         spec_augment=SpecAugmentConfig(),
         ctc_loss_weight=model_cfg.ctc_loss_weight,
-        rnnt_chunk_size=cfg.get("rnnt_chunk_size", 64),
+        rnnt_chunk_size=cfg.get("rnnt_chunk_size", 32),
         use_spec_augment=cfg.get("use_spec_augment", True),
     )
 
