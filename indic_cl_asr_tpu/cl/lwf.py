@@ -59,13 +59,20 @@ def end_task(params: Any, batch_stats: Any) -> LwFState:
     )
 
 
-def ctc_kd_loss(student_logprobs, teacher_logprobs):
+def ctc_kd_loss(student_logprobs, teacher_logprobs, row_mask=None):
     """KL(teacher || student), torch kl_div(input=student_logprob,
     target=teacher_prob, reduction='batchmean') semantics: sum / B
-    (cl_baseline_lwf.py:242-246)."""
+    (cl_baseline_lwf.py:242-246). ``row_mask`` drops the repeated pad
+    rows of a final bucket batch (our artifact; the reference's B is all
+    real rows)."""
     t = jax.lax.stop_gradient(teacher_logprobs.astype(jnp.float32))
     s = student_logprobs.astype(jnp.float32)
     kl = jnp.exp(t) * (t - s)
+    if row_mask is not None:
+        kl = jnp.where(
+            row_mask.reshape((-1,) + (1,) * (kl.ndim - 1)), kl, 0.0
+        )
+        return jnp.sum(kl) / row_mask.sum()
     return jnp.sum(kl) / student_logprobs.shape[0]
 
 
@@ -73,10 +80,15 @@ def joint_kd_chunked(
     f_proj_s, g_proj_s, f_proj_t, g_proj_t, head_w_s, head_b_s,
     head_w_t, head_b_t, *,
     activation: str = "relu", chunk_size: int = 64,
-    faithful_raw_logits: bool = False,
+    faithful_raw_logits: bool = False, row_mask=None,
 ):
     """Chunked KL(teacher joint || student joint), 'batchmean' over B
-    (cl_baseline_lwf.py:248-259)."""
+    (cl_baseline_lwf.py:248-259).
+
+    Masked OUT (our artifacts): frames added by chunk-padding (the KD is
+    chunk-size-invariant) and repeated pad rows (``row_mask``). The
+    in-bucket T/U padding stays included, like the reference's KL over
+    its pad-to-max tensors."""
     B, T, H = f_proj_s.shape
     n_chunks = -(-T // chunk_size)
     T_pad = n_chunks * chunk_size
@@ -101,7 +113,7 @@ def joint_kd_chunked(
 
     @jax.checkpoint
     def chunk_kd(args):
-        f_s, f_t = args
+        ci, f_s, f_t = args
         s = joint_chunk(f_s, g_proj_s, head_w_s, head_b_s)
         t = jax.lax.stop_gradient(
             joint_chunk(f_t, g_proj_t, head_w_t, head_b_t)
@@ -110,7 +122,13 @@ def joint_kd_chunked(
             s = jax.nn.log_softmax(s, axis=-1)
             t = jax.nn.log_softmax(t, axis=-1)
         # torch kl_div(input=s, target=exp(t)): sum exp(t) * (t - s)
-        return jnp.sum(jnp.exp(t) * (t - s))
+        kl = jnp.sum(jnp.exp(t) * (t - s), axis=(2, 3))  # [B, Tc]
+        t_abs = ci * chunk_size + jnp.arange(chunk_size)
+        kl = jnp.where((t_abs < T)[None, :], kl, 0.0)
+        if row_mask is not None:
+            kl = jnp.where(row_mask[:, None], kl, 0.0)
+        return jnp.sum(kl)
 
-    total = jax.lax.map(chunk_kd, (fs, ft)).sum()
-    return total / B
+    total = jax.lax.map(chunk_kd, (jnp.arange(n_chunks), fs, ft)).sum()
+    n_rows = row_mask.sum() if row_mask is not None else B
+    return total / n_rows

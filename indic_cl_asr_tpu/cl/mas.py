@@ -69,11 +69,17 @@ def make_penalty_fn(cfg: MASConfig, state: MASState):
 
 def joint_energy_chunked(
     f_proj, g_proj, head_w, head_b, *, activation: str = "relu",
-    chunk_size: int = 64,
+    chunk_size: int = 64, row_mask=None,
 ):
     """mean over (B, T, U) of sum_v joint_logits^2, chunked over T with
     remat — the reference's rnn_logits surrogate (cl_baseline_mas.py:
-    264-268) including its padded positions."""
+    264-268) including its padded positions.
+
+    Masked OUT (our artifacts, not the reference's): frames added by
+    chunk-padding (so the energy is chunk-size-invariant) and repeated
+    pad rows of the final bucket batch (``row_mask``); the in-bucket
+    T/U padding stays included, matching the reference's
+    everything-included mean over its pad-to-max tensors."""
     B, T, H = f_proj.shape
 
     n_chunks = -(-T // chunk_size)
@@ -83,7 +89,8 @@ def joint_energy_chunked(
     f_chunks = f_proj.reshape(B, n_chunks, chunk_size, H).swapaxes(0, 1)
 
     @jax.checkpoint
-    def chunk_energy(f_chunk):
+    def chunk_energy(args):
+        ci, f_chunk = args
         inp = _activate(
             f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
         )
@@ -94,26 +101,37 @@ def joint_energy_chunked(
             )
             + head_b[:, None, None, :]
         )
-        return jnp.sum(logits**2)
+        sq = jnp.sum(logits**2, axis=(2, 3))  # [B, Tc]
+        t_abs = ci * chunk_size + jnp.arange(chunk_size)
+        sq = jnp.where((t_abs < T)[None, :], sq, 0.0)
+        if row_mask is not None:
+            sq = jnp.where(row_mask[:, None], sq, 0.0)
+        return jnp.sum(sq)
 
-    total = jax.lax.map(chunk_energy, f_chunks).sum()
-    # padded chunk rows contribute logits from zero-padded f_proj — they are
-    # NOT zero (bias + g terms); subtract nothing but normalize over the
-    # real count, matching the reference's everything-included mean over
-    # its (unpadded sub-batch) tensor as closely as the static shape allows.
-    return total / (B * T_pad * g_proj.shape[1])
+    total = jax.lax.map(
+        chunk_energy, (jnp.arange(n_chunks), f_chunks)
+    ).sum()
+    n_rows = row_mask.sum() if row_mask is not None else B
+    return total / (n_rows * T * g_proj.shape[1])
 
 
 def mas_surrogate(
     cfg: MASConfig, f_proj, g_proj, head_w, head_b, ctc_logits,
-    *, activation: str = "relu", chunk_size: int = 64,
+    *, activation: str = "relu", chunk_size: int = 64, row_mask=None,
 ):
     """(1-ctx) * joint energy + ctx * ctc energy (cl_baseline_mas.py:258-264)."""
     rnnt_energy = joint_energy_chunked(
         f_proj, g_proj, head_w, head_b,
-        activation=activation, chunk_size=chunk_size,
+        activation=activation, chunk_size=chunk_size, row_mask=row_mask,
     )
-    ctc_energy = jnp.mean(jnp.sum(ctc_logits.astype(jnp.float32) ** 2, -1))
+    ctc_sq = jnp.sum(ctc_logits.astype(jnp.float32) ** 2, -1)  # [B, T]
+    if row_mask is not None:
+        ctc_sq = jnp.where(row_mask[:, None], ctc_sq, 0.0)
+        ctc_energy = jnp.sum(ctc_sq) / (
+            row_mask.sum() * ctc_sq.shape[1]
+        )
+    else:
+        ctc_energy = jnp.mean(ctc_sq)
     return (1.0 - cfg.mas_ctx) * rnnt_energy + cfg.mas_ctx * ctc_energy
 
 

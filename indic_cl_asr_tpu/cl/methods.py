@@ -55,6 +55,7 @@ class EWCMethod(CLMethod):
                     model, model_cfg, step_cfg, p, batch_stats,
                     batch["audio"], batch["audio_len"], batch["tokens"],
                     batch["token_len"], batch["lang_ids"], rng, train=True,
+                    n_valid=batch.get("n_valid"),
                 )
                 return loss
 
@@ -85,6 +86,20 @@ class EWCMethod(CLMethod):
             self.cfg, self.state, acc, max(total_utterances, 1),
             state.params, self.trainable_mask,
         )
+
+    def export_state(self):
+        if self.state.main_fish is None:
+            return None
+        return {
+            "main_fish": self.state.main_fish,
+            "checkpoint": self.state.checkpoint,
+        }
+
+    def import_state(self, tree) -> None:
+        if tree is not None:
+            self.state = E.EWCState(
+                main_fish=tree["main_fish"], checkpoint=tree["checkpoint"]
+            )
 
 
 @dataclasses.dataclass
@@ -134,10 +149,16 @@ class MASMethod(CLMethod):
                     variables, f, batch["lang_ids"], True,
                     method="ctc_logprobs",
                 )
+                n_valid = batch.get("n_valid")
+                row_mask = (
+                    jnp.arange(batch["audio"].shape[0]) < n_valid
+                    if n_valid is not None else None
+                )
                 return M.mas_surrogate(
                     self.cfg, f_proj, g_proj, hw, hb, ctc_logits,
                     activation=jcfg.activation,
                     chunk_size=step_cfg.rnnt_chunk_size,
+                    row_mask=row_mask,
                 )
 
             return jax.grad(surrogate)(params)
@@ -166,6 +187,20 @@ class MASMethod(CLMethod):
             self.state, acc, max(n_batches, 1), state.params,
             self.trainable_mask,
         )
+
+    def export_state(self):
+        if self.state.importance is None:
+            return None
+        return {
+            "importance": self.state.importance,
+            "checkpoint": self.state.checkpoint,
+        }
+
+    def import_state(self, tree) -> None:
+        if tree is not None:
+            self.state = M.MASState(
+                importance=tree["importance"], checkpoint=tree["checkpoint"]
+            )
 
 
 @dataclasses.dataclass
@@ -213,6 +248,11 @@ class LwFMethod(CLMethod):
                     n_valid=batch.get("n_valid"),
                 )
                 fs, gs, ctc_s, hws, hbs = pieces
+                n_valid = batch.get("n_valid")
+                row_mask = (
+                    jnp.arange(batch["audio"].shape[0]) < n_valid
+                    if n_valid is not None else None
+                )
                 # teacher: train-mode forward with its own augmentation draw
                 # (faithful: the reference runs the teacher through
                 # training_step on a train()-mode model, cl_baseline_lwf.py:
@@ -223,12 +263,13 @@ class LwFMethod(CLMethod):
                     batch["audio"], batch["audio_len"], batch["tokens"],
                     batch["lang_ids"], kt[0], kt[1], kt[2], train=True,
                 )
-                ctc_kd = L.ctc_kd_loss(ctc_s, ctc_t)
+                ctc_kd = L.ctc_kd_loss(ctc_s, ctc_t, row_mask=row_mask)
                 rnnt_kd = L.joint_kd_chunked(
                     fs, gs, ft, gt, hws, hbs, hwt, hbt,
                     activation=jcfg.activation,
                     chunk_size=step_cfg.rnnt_chunk_size,
                     faithful_raw_logits=lcfg.faithful_raw_logits,
+                    row_mask=row_mask,
                 )
                 kd = lcfg.knowledge_distillation
                 ctx = lcfg.knowledge_distillation_ctx
@@ -259,3 +300,18 @@ class LwFMethod(CLMethod):
 
     def end_task(self, state: TrainState, acc, n_batches, total_utterances):
         self.state = L.end_task(state.params, state.batch_stats)
+
+    def export_state(self):
+        if self.state.teacher_params is None:
+            return None
+        return {
+            "teacher_params": self.state.teacher_params,
+            "teacher_batch_stats": self.state.teacher_batch_stats,
+        }
+
+    def import_state(self, tree) -> None:
+        if tree is not None:
+            self.state = L.LwFState(
+                teacher_params=tree["teacher_params"],
+                teacher_batch_stats=tree["teacher_batch_stats"],
+            )

@@ -104,13 +104,16 @@ def model_config_from_nemo(cfg: dict, dtype=None) -> HybridModelConfig:
     )
 
 
-def extract_tokenizer_models(nemo_path: str, out_dir: str) -> dict[str, str]:
+def extract_tokenizer_models(
+    nemo_path: str, out_dir: str, cfg: dict | None = None
+) -> dict[str, str]:
     """Pull each language's SentencePiece .model out of the tar.
 
     Returns {lang: extracted_path}, ordered as the config lists languages
     (this order defines head/vocab-slice order everywhere downstream).
-    """
-    cfg = read_nemo_config(nemo_path)
+    ``cfg`` avoids re-scanning the tar when the caller already parsed the
+    model config (a ~2 GB .nemo costs a full member scan per parse)."""
+    cfg = cfg if cfg is not None else read_nemo_config(nemo_path)
     langs_cfg = cfg.get("tokenizer", {}).get("langs", {}) or {}
     os.makedirs(out_dir, exist_ok=True)
     out: dict[str, str] = {}
@@ -139,14 +142,14 @@ def extract_tokenizer_models(nemo_path: str, out_dir: str) -> dict[str, str]:
     return out
 
 
-def build_tokenizer_from_nemo(nemo_path: str, work_dir: str):
+def build_tokenizer_from_nemo(nemo_path: str, work_dir: str, cfg: dict | None = None):
     """MultilingualTokenizer over the checkpoint's real SentencePiece
     models. Requires the sentencepiece library (adapter in
     data/tokenizer.py:223); raises ImportError with the extracted paths
     noted otherwise, so the artifacts survive for later."""
     from ..data.tokenizer import MultilingualTokenizer, SentencePieceTokenizer
 
-    paths = extract_tokenizer_models(nemo_path, work_dir)
+    paths = extract_tokenizer_models(nemo_path, work_dir, cfg=cfg)
     try:
         toks = {lang: SentencePieceTokenizer(p) for lang, p in paths.items()}
     except ImportError as e:
@@ -205,5 +208,5 @@ def restore_pretrained(
     )
     tokenizer = None
     if with_tokenizer:
-        tokenizer = build_tokenizer_from_nemo(nemo_path, work_dir)
+        tokenizer = build_tokenizer_from_nemo(nemo_path, work_dir, cfg=cfg)
     return model, variables, model_cfg, tokenizer

@@ -142,11 +142,19 @@ def rnnt_beam_search(
             # blank: hypothesis moves to the next frame
             b_score = best.score + float(lp[blank])
             if best.ys in merged:
-                # prefix merge: logsumexp scores of identical sequences
+                # prefix merge: logsumexp scores of identical sequences.
+                # merged[] tracks the TOTAL mass so a copy that was
+                # truncated out of B re-enters with it instead of being
+                # silently dropped (review r2).
+                merged[best.ys] = _logaddexp(merged[best.ys], b_score)
                 for h in B:
                     if h.ys == best.ys:
-                        h.score = _logaddexp(h.score, b_score)
+                        h.score = merged[best.ys]
                         break
+                else:
+                    B.append(
+                        _Hyp(merged[best.ys], best.ys, best.state, best.g)
+                    )
             else:
                 merged[best.ys] = b_score
                 B.append(_Hyp(b_score, best.ys, best.state, best.g))

@@ -84,6 +84,16 @@ class CLMethod:
         the penalty closure changes)."""
         return jax.jit(base_builder(self.penalty_fn(task_idx)))
 
+    def export_state(self):
+        """Algorithm state to checkpoint with the task (Fisher/Omega/
+        teacher); None = stateless. Restored via import_state on resume —
+        without this, a resumed EWC/MAS/LwF sequence would silently
+        continue as naive fine-tuning."""
+        return None
+
+    def import_state(self, tree) -> None:
+        pass
+
 
 @dataclasses.dataclass
 class DriverConfig:
@@ -132,6 +142,7 @@ def run_sequence(
         if latest is not None:
             idx, lang = latest
             state = checkpointer.load_task(idx, lang, state)
+            method.import_state(checkpointer.load_method_state(idx, lang))
             m = checkpointer.manifest()
             for l, recs in m["val_performance"].items():
                 if l in val_performance:
@@ -210,7 +221,10 @@ def run_sequence(
                 f"{logger.dir}/model_{lang}.npz", state.params, trainable_mask
             )
         if checkpointer is not None:
-            checkpointer.save_task(lang_idx, lang, state, val_performance)
+            checkpointer.save_task(
+                lang_idx, lang, state, val_performance,
+                method_state=method.export_state(),
+            )
 
     return {"val": val_performance, "test": test_performance}
 

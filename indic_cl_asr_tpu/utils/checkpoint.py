@@ -139,23 +139,38 @@ class SequenceCheckpointer:
 
     def save_task(
         self, task_idx: int, lang: str, state: Any,
-        val_performance: dict,
+        val_performance: dict, method_state: Any | None = None,
     ) -> None:
         """Checkpoint the FULL TrainState (step/params/batch_stats/opt_state)
         so resume continues the optimizer, not just the weights (ADVICE r1:
         saving only {params, batch_stats} broke run_sequence's restore).
         Serialized via flax state-dicts so optax NamedTuple states become
-        plain nested dicts orbax round-trips losslessly."""
+        plain nested dicts orbax round-trips losslessly.
+
+        ``method_state`` (review r2): the CL algorithm's own state
+        (EWC Fisher/theta*, MAS Omega, LwF teacher) — without it a resumed
+        EWC/MAS/LwF sequence silently degrades to naive fine-tuning."""
         save_pytree(
             os.path.join(self.root, f"task_{task_idx}_{lang}"),
             serialization.to_state_dict(state),
         )
+        if method_state is not None:
+            save_pytree(
+                os.path.join(self.root, f"task_{task_idx}_{lang}_method"),
+                method_state,
+            )
         m = self.manifest()
         if lang not in m["completed_tasks"]:
             m["completed_tasks"].append(lang)
         m["val_performance"] = val_performance
         with open(self._manifest_path, "w") as f:
             json.dump(m, f)
+
+    def load_method_state(self, task_idx: int, lang: str) -> Any | None:
+        path = os.path.join(self.root, f"task_{task_idx}_{lang}_method")
+        if not os.path.exists(path):
+            return None
+        return load_pytree(path)
 
     def latest_task(self) -> tuple[int, str] | None:
         m = self.manifest()

@@ -196,3 +196,113 @@ class TestLwFFaithfulMode:
         )
         assert fixed != pytest.approx(faithful)
         assert fixed >= -1e-5  # true KL is non-negative
+
+
+class TestPaddingInvariance:
+    """KD / importance surrogates must ignore OUR padding artifacts:
+    chunk-pad frames and repeated rows (review r2 findings)."""
+
+    def _tensors(self, rng, B=3, T=10, U1=5, H=8, V1=6):
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((B, H, V1)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((B, V1)) * 0.1, jnp.float32)
+        return f, g, w, b
+
+    def test_joint_kd_chunk_size_invariant(self, rng):
+        from indic_cl_asr_tpu.cl.lwf import joint_kd_chunked
+
+        fs, gs, ws, bs = self._tensors(rng)
+        ft, gt, wt, bt = self._tensors(np.random.default_rng(9))
+        vals = [
+            float(joint_kd_chunked(
+                fs, gs, ft, gt, ws, bs, wt, bt, chunk_size=c
+            ))
+            for c in (3, 4, 10, 64)
+        ]
+        np.testing.assert_allclose(vals, vals[0], rtol=1e-5)
+
+    def test_joint_kd_repeat_row_invariant(self, rng):
+        from indic_cl_asr_tpu.cl.lwf import joint_kd_chunked
+
+        fs, gs, ws, bs = self._tensors(rng)
+        ft, gt, wt, bt = self._tensors(np.random.default_rng(9))
+        rep = lambda x: jnp.concatenate([x, x[-1:]], 0)
+        mask = jnp.array([True, True, True, False])
+        base = float(joint_kd_chunked(
+            fs, gs, ft, gt, ws, bs, wt, bt, chunk_size=4
+        ))
+        padded = float(joint_kd_chunked(
+            rep(fs), rep(gs), rep(ft), rep(gt), rep(ws), rep(bs),
+            rep(wt), rep(bt), chunk_size=4, row_mask=mask,
+        ))
+        np.testing.assert_allclose(padded, base, rtol=1e-5)
+
+    def test_mas_energy_chunk_and_row_invariant(self, rng):
+        from indic_cl_asr_tpu.cl.mas import MASConfig, mas_surrogate
+
+        f, g, w, b = self._tensors(rng)
+        ctc = jnp.asarray(rng.standard_normal((3, 10, 6)), jnp.float32)
+        cfg = MASConfig(mas_ctx=0.3)
+        vals = [
+            float(mas_surrogate(cfg, f, g, w, b, ctc, chunk_size=c))
+            for c in (3, 10, 64)
+        ]
+        np.testing.assert_allclose(vals, vals[0], rtol=1e-5)
+        rep = lambda x: jnp.concatenate([x, x[-1:], x[-1:]], 0)
+        mask = jnp.array([True, True, True, False, False])
+        padded = float(mas_surrogate(
+            cfg, rep(f), rep(g), rep(w), rep(b), rep(ctc),
+            chunk_size=4, row_mask=mask,
+        ))
+        np.testing.assert_allclose(padded, vals[0], rtol=1e-5)
+
+
+def test_method_state_checkpoint_roundtrip(tmp_path):
+    """EWC/MAS/LwF state survives the SequenceCheckpointer (review r2:
+    without this a resumed sequence silently degrades to naive)."""
+    import jax
+    from indic_cl_asr_tpu.cl import ewc as E
+    from indic_cl_asr_tpu.utils.checkpoint import SequenceCheckpointer
+
+    params = {"w": jnp.ones((2, 3)), "b": jnp.zeros((3,))}
+    fish = {"w": jnp.full((2, 3), 0.5), "b": jnp.full((3,), 0.1)}
+
+    class FakeEWC:
+        def __init__(self):
+            self.state = E.EWCState()
+
+        def export_state(self):
+            if self.state.main_fish is None:
+                return None
+            return {"main_fish": self.state.main_fish,
+                    "checkpoint": self.state.checkpoint}
+
+        def import_state(self, tree):
+            if tree is not None:
+                self.state = E.EWCState(
+                    main_fish=tree["main_fish"],
+                    checkpoint=tree["checkpoint"],
+                )
+
+    ck = SequenceCheckpointer(str(tmp_path / "seq"))
+    m1 = FakeEWC()
+    m1.state = E.EWCState(main_fish=fish, checkpoint=params)
+    from indic_cl_asr_tpu.train.state import TrainState
+    state = TrainState(step=jnp.int32(1), params=params, batch_stats={},
+                       opt_state=())
+    ck.save_task(0, "hindi", state, {}, method_state=m1.export_state())
+
+    m2 = FakeEWC()
+    assert m2.state.main_fish is None
+    m2.import_state(ck.load_method_state(0, "hindi"))
+    assert m2.state.main_fish is not None
+    np.testing.assert_allclose(
+        np.asarray(m2.state.main_fish["w"]), 0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.state.checkpoint["w"]), 1.0
+    )
+    # stateless save has no method file
+    ck.save_task(1, "bengali", state, {}, method_state=None)
+    assert ck.load_method_state(1, "bengali") is None
