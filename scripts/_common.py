@@ -176,6 +176,17 @@ def build_model_cfg(cfg, tokenizer, languages) -> HybridModelConfig:
         # — the canonical TPU path; --model.scan_layers false falls back
         # to the unrolled per-layer param tree
         scan_layers=m.get("scan_layers", True),
+        # --model.att_context_left/right: banded attention; left>=0 and
+        # right==0 with causal_conv enables cache-aware streaming
+        att_context_size=(
+            m.get("att_context_left", -1), m.get("att_context_right", -1)
+        ),
+        causal_conv=m.get("causal_conv", False),
+        # Longformer local+global variant (reference
+        # multi_head_attention.py:253)
+        global_tokens=m.get("global_tokens", 0),
+        global_tokens_spacing=m.get("global_tokens_spacing", 1),
+        global_attn_separate=m.get("global_attn_separate", False),
         dtype=dtype,
     )
     return HybridModelConfig(
