@@ -148,9 +148,11 @@ class BatchPipeline:
     Within an epoch: entries are (optionally shuffled then) grouped by
     bucket; each bucket yields full ``batch_size`` batches; the final
     partial batch of each bucket is padded by repeating its last entry so
-    every batch has the same static shape (mask by audio_len/token_len —
-    the repeated rows still contribute loss; epoch semantics note in
-    docs/PARITY.md).
+    every batch has the same static shape. ``n_real`` marks how many
+    leading rows are real: the train step's masked reductions
+    (train/step.py n_valid, ops/rnnt_loss.py row masking) exclude the
+    repeated rows from the loss exactly, matching the reference's
+    simply-smaller final batch (epoch semantics note in docs/PARITY.md).
     """
 
     def __init__(

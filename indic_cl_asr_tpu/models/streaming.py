@@ -609,15 +609,31 @@ class StreamingASR:
             "frames": 0,
         }
 
-    def step(self, state, mel_chunk: jnp.ndarray, lang_ids: jnp.ndarray):
+    def step(self, state, mel_chunk: jnp.ndarray, lang_ids: jnp.ndarray,
+             valid_mel: jnp.ndarray | None = None):
         """mel_chunk [B, n_mels, chunk_mel] ->
-        ((tokens [B, max_out], lens [B]) so far, new state)."""
+        ((tokens [B, max_out], lens [B]) so far, new state).
+
+        ``valid_mel`` [B] (optional): how many of this chunk's mel frames
+        are real audio. A final partial chunk must be zero-padded to
+        ``chunk_mel`` columns; without ``valid_mel`` the padding would be
+        decoded as real audio and could emit spurious tokens (ADVICE r2).
+        Subsampled per-row frame budgets are derived with the encoder's
+        ceil(v / factor) length rule."""
         enc_chunk, enc_state = self.streamer.step(
             self._enc_vars, state["enc"], mel_chunk
         )
         C = enc_chunk.shape[1]
-        total = jnp.full((mel_chunk.shape[0],), state["frames"] + C,
-                         jnp.int32)
+        B = mel_chunk.shape[0]
+        if valid_mel is None:
+            valid = jnp.full((B,), C, jnp.int32)
+        else:
+            factor = self.streamer.cfg.subsampling_factor
+            valid = jnp.minimum(
+                jnp.asarray(C, jnp.int32),
+                -(-valid_mel.astype(jnp.int32) // factor),
+            )
+        total = state["frames"] + valid
         out, out_len, carry = self._decode(
             enc_chunk, lang_ids, state["dec"], jnp.int32(state["frames"]),
             total,

@@ -52,8 +52,17 @@ def save_partial(path: str, params: Any, trainable_mask: Any) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in subset.items()})
 
 
-def _restack_named(named: dict, n_layers: int) -> dict:
-    """{encoder/layers_<i>/...: arr} -> {encoder/stack/layers/...: [L,...]}"""
+def _restack_named(
+    named: dict, n_layers: int, target: dict | None = None
+) -> dict:
+    """{encoder/layers_<i>/...: arr} -> {encoder/stack/layers/...: [L,...]}
+
+    A partial save with a frozen prefix legitimately contains only the
+    trainable layers (e.g. 12..16 of 17); missing rows are filled from
+    ``target`` — the destination tree's existing stacked leaves — when
+    provided (ADVICE r2: raising here broke frozen-prefix partial saves
+    restored into the scanned layout). Without ``target`` all layers must
+    be present."""
     import re
 
     groups: dict[tuple[str, str], dict[int, Any]] = {}
@@ -67,14 +76,21 @@ def _restack_named(named: dict, n_layers: int) -> dict:
         else:
             out[k] = v
     for (prefix, suffix), by_layer in groups.items():
-        if sorted(by_layer) != list(range(n_layers)):
+        stacked_path = f"{prefix}/stack/layers/{suffix}"
+        tgt = target.get(stacked_path) if target is not None else None
+        L = (tgt.shape[0] if tgt is not None
+             else (n_layers or 1 + max(by_layer)))
+        missing = [i for i in range(L) if i not in by_layer]
+        if missing and tgt is None:
             raise ValueError(
                 f"partial save misses encoder layers for {suffix}: "
-                f"have {sorted(by_layer)}"
+                f"have {sorted(by_layer)} (no target tree to fill from)"
             )
-        out[f"{prefix}/stack/layers/{suffix}"] = np.stack(
-            [by_layer[i] for i in range(n_layers)]
-        )
+        rows = [
+            by_layer[i] if i in by_layer else np.asarray(tgt[i])
+            for i in range(L)
+        ]
+        out[stacked_path] = np.stack(rows)
     return out
 
 
@@ -108,18 +124,42 @@ def load_partial(path: str, params: Any) -> Any:
         "encoder/layers_" in k for k in named
     )
     if target_scan and saved_unrolled:
-        import re
-
-        n_layers = 1 + max(
-            int(m.group(1))
-            for k in named
-            for m in [re.search(r"encoder/layers_(\d+)/", k)]
-            if m
-        )
-        named = _restack_named(named, n_layers)
+        named = _restack_named(named, 0, target=named_leaves(params))
     elif not target_scan and saved_scan:
         named = _unstack_named(named)
     return tree_update_from_named(params, named)
+
+
+def _convert_state_layout(raw: dict, like_sd: dict) -> dict:
+    """Adapt a full-TrainState state-dict saved in one encoder layout
+    (unrolled `encoder/layers_<i>` vs scanned `encoder/stack/layers`) to
+    the other. params/batch_stats/step convert exactly; opt_state is kept
+    from ``like_sd`` (fresh) because the masked vs stacked-freeze
+    optimizer layouts are not mutually convertible."""
+    import warnings
+
+    out = dict(like_sd)
+    for key in ("params", "batch_stats"):
+        if key in raw and key in like_sd:
+            named_raw = named_leaves(raw[key])
+            target_named = named_leaves(like_sd[key])
+            target_scan = any("/stack/layers/" in p for p in target_named)
+            saved_scan = any("/stack/layers/" in k for k in named_raw)
+            if target_scan and not saved_scan:
+                named_raw = _restack_named(named_raw, 0, target=target_named)
+            elif saved_scan and not target_scan:
+                named_raw = _unstack_named(named_raw)
+            out[key] = tree_update_from_named(like_sd[key], named_raw)
+    if "step" in raw:
+        out["step"] = raw["step"]
+    warnings.warn(
+        "sequence checkpoint was saved in a different encoder layout "
+        "(scan_layers changed); params/batch_stats converted, optimizer "
+        "state restarted fresh. Pass --model.scan_layers matching the "
+        "checkpoint to resume the optimizer too.",
+        stacklevel=2,
+    )
+    return out
 
 
 class SequenceCheckpointer:
@@ -181,9 +221,20 @@ class SequenceCheckpointer:
 
     def load_task(self, task_idx: int, lang: str, like: Any) -> Any:
         """Restore a full TrainState saved by save_task; `like` supplies the
-        structure (a freshly-built TrainState with matching optimizer)."""
-        restored = load_pytree(
-            os.path.join(self.root, f"task_{task_idx}_{lang}"),
-            serialization.to_state_dict(like),
-        )
+        structure (a freshly-built TrainState with matching optimizer).
+
+        Cross-layout resume (ADVICE r2: scan_layers default flipped to
+        True in round 2, so pre-existing sequence checkpoints are in the
+        unrolled layout): on structure mismatch, params/batch_stats/step
+        are converted between the unrolled and scanned encoder layouts;
+        the optimizer state cannot be converted across the
+        masked/stacked-freeze layouts and restarts fresh from ``like``
+        (warned)."""
+        path = os.path.join(self.root, f"task_{task_idx}_{lang}")
+        like_sd = serialization.to_state_dict(like)
+        try:
+            restored = load_pytree(path, like_sd)
+        except Exception:
+            raw = load_pytree(path)
+            restored = _convert_state_layout(raw, like_sd)
         return serialization.from_state_dict(like, restored)

@@ -132,3 +132,96 @@ def test_log_bwt_curves_writes_json(tmp_path):
         got = _json.load(f)
     assert got["hindi"] == [[2, -0.05], [3, -0.1]]
     assert got["bengali"] == []
+
+
+def test_frozen_prefix_partial_save_into_scanned_layout(tmp_path):
+    """ADVICE r2: a partial save with a frozen encoder prefix contains
+    only the trainable layers; restoring into the scanned layout must
+    fill the missing stacked rows from the target params, not raise."""
+    import dataclasses
+
+    from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
+    from indic_cl_asr_tpu.utils.checkpoint import load_partial, save_partial
+    from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
+
+    base = tiny_config()
+    unrolled_cfg = dataclasses.replace(
+        base, encoder=dataclasses.replace(base.encoder, scan_layers=False)
+    )
+    scanned_cfg = dataclasses.replace(
+        base, encoder=dataclasses.replace(base.encoder, scan_layers=True)
+    )
+    _, unrolled = init_model(unrolled_cfg, jax.random.PRNGKey(0))
+    # freeze layers [0, 1): only layers 1.. are in the partial save
+    mask = conformer_freeze_mask(unrolled["params"], 1)
+    p = str(tmp_path / "frozen_partial.npz")
+    save_partial(p, unrolled["params"], mask)
+    with np.load(p) as data:
+        assert not any("layers_0/" in k for k in data.files)
+        assert any("layers_1/" in k for k in data.files)
+
+    _, scanned = init_model(scanned_cfg, jax.random.PRNGKey(1))
+    restored = load_partial(p, scanned["params"])
+    # trainable rows come from the save; frozen row 0 keeps the target's
+    stack = restored["encoder"]["stack"]["layers"]
+    src_l1 = unrolled["params"]["encoder"]["layers_1"]
+    tgt_stack = scanned["params"]["encoder"]["stack"]["layers"]
+
+    def first_leaf(tree):
+        return jax.tree_util.tree_leaves(tree)[0]
+
+    np.testing.assert_array_equal(
+        np.asarray(first_leaf(stack))[1], np.asarray(first_leaf(src_l1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(first_leaf(stack))[0],
+        np.asarray(first_leaf(tgt_stack))[0],
+    )
+
+
+def test_sequence_resume_across_scan_layouts(tmp_path):
+    """ADVICE r2: scan_layers default flipped True in round 2 — an
+    unrolled-layout sequence checkpoint must still resume into a scanned
+    fresh state (params/batch_stats converted; optimizer restarts)."""
+    import dataclasses
+    import warnings
+
+    from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
+    from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
+    from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
+
+    base = tiny_config()
+    unrolled_cfg = dataclasses.replace(
+        base, encoder=dataclasses.replace(base.encoder, scan_layers=False)
+    )
+    scanned_cfg = dataclasses.replace(
+        base, encoder=dataclasses.replace(base.encoder, scan_layers=True)
+    )
+    _, old_vars = init_model(unrolled_cfg, jax.random.PRNGKey(0))
+    mask = conformer_freeze_mask(old_vars["params"], 0)
+    tx_old = make_optimizer(lr=1e-3, trainable_mask=mask)
+    old_state = create_train_state(old_vars, tx_old)
+    old_state = old_state.replace(step=jnp.asarray(5, jnp.int32))
+
+    ckpt = SequenceCheckpointer(str(tmp_path / "seq"))
+    ckpt.save_task(0, "hindi", old_state, {"hindi": [{"rnnt_wer": 0.4}]})
+
+    _, fresh_vars = init_model(scanned_cfg, jax.random.PRNGKey(1))
+    mask2 = conformer_freeze_mask(fresh_vars["params"], 0)
+    tx_new = make_optimizer(
+        lr=1e-3, trainable_mask=mask2, stacked_freeze_till=0
+    )
+    fresh = create_train_state(fresh_vars, tx_new)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        restored = ckpt.load_task(0, "hindi", fresh)
+
+    assert int(restored.step) == 5
+    # layer 1 weights of the unrolled save land in stacked row 1
+    got = jax.tree_util.tree_leaves(
+        restored.params["encoder"]["stack"]["layers"]
+    )[0]
+    want = jax.tree_util.tree_leaves(
+        old_state.params["encoder"]["layers_1"]
+    )[0]
+    np.testing.assert_array_equal(np.asarray(got)[1], np.asarray(want))

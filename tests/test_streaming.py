@@ -206,3 +206,53 @@ def test_streaming_asr_matches_offline_greedy(causal_setup, rng):
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(want_lens))
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
     # tokens must appear incrementally usable at every step (monotone lens)
+
+
+def test_streaming_asr_partial_final_chunk(causal_setup, rng):
+    """ADVICE r2: a zero-padded final partial chunk must not be decoded
+    as real audio — pass valid_mel and match the offline greedy decode of
+    the true-length audio exactly."""
+    from indic_cl_asr_tpu.models.streaming import StreamingASR
+    from indic_cl_asr_tpu.ops.decoding import rnnt_greedy_decode
+
+    cfg, model, variables = causal_setup
+    B, T_real, CH = 2, 112, 32  # last chunk holds 16 real mel frames
+    T_pad = 128
+    mel = jnp.zeros((B, cfg.encoder.feat_in, T_pad), jnp.float32)
+    mel = mel.at[:, :, :T_real].set(jnp.asarray(
+        rng.standard_normal((B, cfg.encoder.feat_in, T_real)) * 2.0,
+        jnp.float32,
+    ))
+    lang = jnp.zeros((B,), jnp.int32)
+
+    f, _ = model.apply(
+        variables, mel[:, :, :T_real],
+        jnp.full((B,), T_real, jnp.int32), False, method="encode",
+    )
+    f_proj = model.apply(variables, f, method="joint_project_enc")
+
+    def pred_step(last_label, state):
+        return model.apply(variables, last_label, state, method="pred_step")
+
+    def joint_step(f_t, g_t, li):
+        return model.apply(variables, f_t, g_t, li, method="joint_step")
+
+    n_frames = T_real // 4
+    want_ids, want_lens = rnnt_greedy_decode(
+        f_proj[:, :n_frames], jnp.full((B,), n_frames, jnp.int32), lang,
+        pred_step, joint_step, None,
+        blank=cfg.blank_local, max_symbols=4, max_out=64,
+    )
+
+    asr = StreamingASR(
+        model, cfg, variables, chunk_mel=CH, max_symbols=4, max_out=64
+    )
+    state = asr.init(B)
+    for c0 in range(0, T_pad, CH):
+        valid = jnp.full((B,), min(CH, max(0, T_real - c0)), jnp.int32)
+        (ids, lens), state = asr.step(
+            state, mel[:, :, c0:c0 + CH], lang, valid_mel=valid
+        )
+
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(want_lens))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
