@@ -200,3 +200,111 @@ def test_loss_invariant_to_repeat_padded_rows():
         B + 2,
     )
     assert unmasked != pytest.approx(base, rel=1e-6)
+
+
+@pytest.mark.slow
+def test_flagship_dims_sharding_with_odd_vocab(rng):
+    """VERDICT r2 item 7: jit the FLAGSHIP-dimension step (d_model 512,
+    d_ff 2048, pred/joint hidden 640, per-lang V+1=257) on the 8-CPU mesh
+    at n_model=2. V+1=257 is odd, so every vocab-sharded rule
+    (joint head_kernel/head_bias, ctc_decoder kernel/bias last dim 3072+12?)
+    must hit the divisibility fallback where indivisible, and the fallback
+    must compose with the scanned [L] stack. Asserts which leaves ended up
+    sharded vs replicated AND loss == single-device."""
+    import dataclasses
+
+    from indic_cl_asr_tpu.models.hybrid import flagship_config
+
+    cfg = flagship_config(dtype=jnp.float32, n_layers=2)
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, frozen_till=1)
+    )
+    assert cfg.vocab_per_lang + 1 == 257  # odd: triggers the fallback
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    mask = conformer_freeze_mask(variables["params"], 1)
+    tx = make_optimizer(lr=1e-3, trainable_mask=mask, stacked_freeze_till=1)
+    state = create_train_state(variables, tx)
+    step_cfg = StepConfig(
+        frontend=FrontendConfig(),
+        use_spec_augment=False,
+        rnnt_chunk_size=8,
+    )
+    step = make_train_step(model, cfg, step_cfg, tx)
+
+    B, S, U = 8, 4000, 5
+    batch = {
+        "audio": jnp.asarray(
+            0.1 * rng.standard_normal((B, S)), jnp.float32
+        ),
+        "audio_len": jnp.full((B,), S, jnp.int32),
+        "tokens": jnp.asarray(
+            rng.integers(1, cfg.vocab_per_lang, (B, U)).astype(np.int32)
+        ),
+        "token_len": jnp.full((B,), U, jnp.int32),
+        "lang_ids": jnp.asarray(
+            rng.integers(0, cfg.n_langs, (B,)).astype(np.int32)
+        ),
+    }
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    # --- sharding-rule audit at flagship dims
+    sh = named_leaves(tree_shardings(state, mesh))
+    P = jax.sharding.PartitionSpec
+    # scanned-stack FFN leaves: [L, d, ff] with ff=2048 divisible -> spec
+    # shifted right by one for the layer axis
+    assert sh[
+        ".params/encoder/stack/layers/feed_forward1/linear1/kernel"
+    ].spec == P(None, None, "model")
+    assert sh[
+        ".params/encoder/stack/layers/self_attn/linear_out/kernel"
+    ].spec == P(None, "model", None)
+    # odd vocab dims hit the divisibility fallback -> replicated:
+    # joint heads [12, 640, 257], ctc kernel [512, 3073],
+    # embedding [3073, 640]
+    assert sh[".params/joint/head_kernel"].spec == P()
+    assert sh[".params/joint/head_bias"].spec == P()
+    assert sh[".params/ctc_decoder/kernel"].spec == P()
+    assert sh[".params/prediction/embedding"].spec == P()
+    # even dims stay sharded: joint projections 640 % 2 == 0
+    assert sh[".params/joint/enc/kernel"].spec == P(None, "model")
+    # optimizer mirrors: mu of a sharded leaf is sharded the same way
+    mu_keys = [
+        k for k in sh
+        if "/.mu/" in k and k.endswith("feed_forward1/linear1/kernel")
+    ]
+    assert mu_keys and all(
+        sh[k].spec == P(None, None, "model") for k in mu_keys
+    )
+    mu_head = [k for k in sh if "/.mu/" in k and k.endswith("head_kernel")]
+    assert mu_head and all(sh[k].spec == P() for k in mu_head)
+
+    # --- numerical parity vs single device
+    state1, aux1 = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    sstate = shard_train_state(state, mesh)
+    sbatch = jax.device_put(batch, batch_shardings(batch, mesh))
+    jstep = jax.jit(
+        step,
+        in_shardings=(
+            tree_shardings(state, mesh),
+            batch_shardings(batch, mesh),
+            None,
+        ),
+    )
+    state2, aux2 = jstep(sstate, sbatch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(aux1["train_loss"]), float(aux2["train_loss"]), rtol=2e-4
+    )
+    # frozen stacked row 0 identical; trainable row 1 moved identically
+    stack1 = named_leaves(state1.params)
+    stack2 = named_leaves(state2.params)
+    key = "encoder/stack/layers/feed_forward1/linear1/kernel"
+    # tolerance is O(lr): AdamW's mu/sqrt(nu) normalization turns tiny
+    # reduction-order grad noise into up-to-lr-sized update flips on
+    # near-zero-grad elements (observed: ~10 of 2M elements at ~6e-4)
+    np.testing.assert_allclose(
+        np.asarray(stack1[key]), np.asarray(stack2[key]), atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stack2[key])[0],
+        np.asarray(named_leaves(state.params)[key])[0],
+    )
