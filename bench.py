@@ -6,7 +6,17 @@ working point — batch 16, 8s utterances, encoder frozen below layer 12,
 SpecAugment on, fused RNNT + CTC loss, AdamW (reference: config.yaml,
 sbatch.sh 1x GPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Extra audit fields (VERDICT r2 item 2): "step_ms", "mfu", "components"
+(telescoped per-stage times that must sum to ~ the step time),
+"verified" (true only when the component split reconciles with the
+headline), and "tc64_ok" (the Tc=64 miscompile canary, VERDICT r2 item 6).
+
+Run layout: the parent spawns one child process per program class —
+"step" (the headline timing), "components" (encode-fwd / loss-fwd /
+fwd+bwd / full-step telescoping), "canary" (Tc=32 vs Tc=64 loss equality
+at flagship tile shapes) — because the tunneled backend is most reliable
+with one heavy program per process (docs/ROADMAP.md infra notes).
 
 vs_baseline: the reference publishes no throughput number and ships no
 timing logs (SURVEY.md §6; /root/reference/results has only PDFs), and no
@@ -40,35 +50,57 @@ import sys
 import time
 
 REFERENCE_A100_UTTS_PER_SEC_ESTIMATE = 40.0
+# Analytic fwd+bwd FLOPs per batch at the working point (see module
+# docstring derivation; 2 FLOPs/MAC): used for the MFU line. v5e bf16
+# peak is 197 TFLOP/s/chip.
+ANALYTIC_STEP_TFLOPS = 1.5
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 # NOTE: do NOT enable the persistent compilation cache here — cached
 # artifacts compiled through the tunnel have faulted on reload
 # (UNAVAILABLE "kernel fault"); cold compiles are safer.
 
-import numpy as np  # noqa: E402
-
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
-    # Pre-warm the tunneled worker with a trivial program FIRST: the
-    # per-process warmup (queueing/plugin bring-up, up to ~7 min observed)
-    # is a one-time cost, and the tunnel kills workers whose first program
-    # takes >~10 min total — paying warmup on a 1-op program keeps the big
-    # step's own compile window safely under that budget.
-    t_warm = time.time()
+def _warm():
+    """Pre-warm the tunneled worker with a trivial program FIRST: the
+    per-process warmup (queueing/plugin bring-up, up to ~7 min observed)
+    is a one-time cost, and the tunnel kills workers whose first program
+    takes >~10 min total — paying warmup on a 1-op program keeps the big
+    step's own compile window safely under that budget."""
+    import jax
+    import jax.numpy as jnp
+
+    t = time.time()
     jax.block_until_ready(
         jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16))
     )
-    print(f"# worker warm in {time.time() - t_warm:.0f}s", file=sys.stderr)
+    print(f"# worker warm in {time.time() - t:.0f}s", file=sys.stderr)
+
+
+def _platform_version():
+    import jax
+
+    try:
+        return jax.devices()[0].client.platform_version
+    except Exception:
+        return "unknown"
+
+
+def _setup(rnnt_chunk: int):
+    """Build the flagship model, optimizer state, step config and batch at
+    the reference working point."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     from indic_cl_asr_tpu.models.hybrid import flagship_config, init_model
     from indic_cl_asr_tpu.train.state import create_train_state, make_optimizer
-    from indic_cl_asr_tpu.train.step import StepConfig, make_train_step
+    from indic_cl_asr_tpu.train.step import StepConfig
     from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
-
-    import dataclasses
 
     cfg = flagship_config()
     # reference working point freezes encoder layers [0, 12): the scanned
@@ -81,21 +113,7 @@ def main():
     mask = conformer_freeze_mask(variables["params"], 12)
     tx = make_optimizer(lr=1e-4, trainable_mask=mask, stacked_freeze_till=12)
     state = create_train_state(variables, tx)
-    # rnnt_chunk_size 32, not the training default 64: the current
-    # tunnel/libtpu version MISCOMPILES (kernel-faults) the composed
-    # encoder+joint program at Tc=64 tile shapes, while 16/32 run clean
-    # and the loss is exactly chunk-size-invariant (tested). Bisected
-    # 2026-08-17; see docs/ROADMAP.md infra notes.
-    step_cfg = StepConfig(
-        rnnt_chunk_size=int(os.environ.get("BENCH_RNNT_CHUNK", "32"))
-    )
-    # BENCH_NO_DONATE=1: skip buffer donation — diagnostic fallback for
-    # the tunneled backend (donation is suspected in the 2026-08-17
-    # full-step faults; costs one extra state copy of HBM if used)
-    donate = () if os.environ.get("BENCH_NO_DONATE") == "1" else (0,)
-    step = jax.jit(
-        make_train_step(model, cfg, step_cfg, tx), donate_argnums=donate
-    )
+    step_cfg = StepConfig(rnnt_chunk_size=rnnt_chunk)
 
     B, SECS, U = 16, 8, 48
     S = 16000 * SECS
@@ -109,26 +127,66 @@ def main():
         "token_len": jnp.full((B,), U, jnp.int32),
         "lang_ids": jnp.zeros((B,), jnp.int32),
     }
+    return model, cfg, tx, state, step_cfg, batch, (B, SECS, U)
 
-    # warmup (first program in a fresh TPU process can take minutes on the
-    # tunneled backend) + compile
+
+def _default_chunk() -> int:
+    # 32, not the training default 64: the current tunnel/libtpu version
+    # MISCOMPILES (kernel-faults) the composed encoder+joint program at
+    # Tc=64 tile shapes, while 16/32 run clean and the loss is exactly
+    # chunk-size-invariant (tested). Bisected 2026-08-17; see
+    # docs/ROADMAP.md infra notes. The "canary" mode re-checks this every
+    # bench run so the pin can be lifted when the tunnel is fixed.
+    return int(os.environ.get("BENCH_RNNT_CHUNK", "32"))
+
+
+def mode_step():
+    """Headline: steady-state full-train-step throughput."""
+    import jax
+
+    _warm()
+    model, cfg, tx, state, step_cfg, batch, (B, SECS, U) = _setup(
+        _default_chunk()
+    )
+    from indic_cl_asr_tpu.train.step import make_train_step
+
+    # BENCH_NO_DONATE=1: skip buffer donation — diagnostic fallback for
+    # the tunneled backend (costs one extra state copy of HBM if used)
+    donate = () if os.environ.get("BENCH_NO_DONATE") == "1" else (0,)
+    step = jax.jit(
+        make_train_step(model, cfg, step_cfg, tx), donate_argnums=donate
+    )
+
+    # warmup + compile
     state, aux = step(state, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(aux)
     state, aux = step(state, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(aux)
 
-    # Timing notes: steps CHAIN through the donated state, so a block's
-    # final loss value cannot materialize until every step in it has
-    # executed; syncing via an actual host read of that value (not
+    # Timing: steps CHAIN through the donated state, so a block's final
+    # loss value cannot materialize until every step in it has executed;
+    # syncing via an actual host read of that value (not
     # block_until_ready, whose semantics we don't fully trust on the
     # experimental tunneled backend) makes the measurement robust. Reads
     # are double-buffered one block behind: the dispatch queue stays
-    # bounded at <= 2 blocks (deep async chains have faulted the tunnel),
-    # the host round-trip overlaps the next block's device execution, and
-    # only the final read (~70 ms / 100 steps) lands in the window.
+    # bounded at <= 2 blocks, the host round-trip overlaps the next
+    # block's device execution, and only the final read lands in the
+    # window.
     n_blocks, k = 10, 10
+    # probe block first: on a contended window (step >= 0.5 s) a precise
+    # 100-step measurement wastes ~10 min of chip time quantifying a
+    # number we will not keep — 2 blocks suffice to annotate it
+    tp = time.time()
+    for i in range(k):
+        state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
+    probe_loss = float(aux["train_loss"])
+    probe_dt = (time.time() - tp) / k
+    if probe_dt > 0.5:
+        n_blocks = 2
+        print(f"# contended window (probe {probe_dt * 1000:.0f} ms/step):"
+              f" short measurement", file=sys.stderr)
     t0 = time.time()
-    i = 0
+    i = k
     pending = None
     for _ in range(n_blocks):
         for _ in range(k):
@@ -140,96 +198,326 @@ def main():
     final_loss = float(pending)
     dt = (time.time() - t0) / (n_blocks * k)
 
-    utts_per_sec = B / dt
-    result = {
-        "metric": "train_utts_per_sec_per_chip",
-        "value": round(utts_per_sec, 2),
-        "unit": "utts/s (B=16, 8s utts, 124.6M-param hybrid)",
-        "vs_baseline": round(
-            utts_per_sec / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2
+    out = {
+        "mode": "step",
+        "step_ms": round(dt * 1000, 2),
+        "utts_per_sec": round(B / dt, 2),
+        "audio_sec_per_sec": round(B * SECS / dt, 1),
+        "mfu": round(
+            ANALYTIC_STEP_TFLOPS / dt / V5E_BF16_PEAK_TFLOPS, 4
         ),
+        "loss": round(final_loss, 3),
+        "platform_version": _platform_version(),
     }
-    # the tunneled chip is intermittently shared/throttled (observed
-    # minute-to-minute step-time swings 70 -> 315 ms on identical
-    # programs); keep the best clean measurement and surface it when the
-    # current window is clearly degraded, so both numbers are visible
-    best_path = os.path.join(os.path.dirname(__file__), "BENCH_BEST.json")
-    best = None
-    try:
-        if os.path.exists(best_path):
-            with open(best_path) as f:
-                best = json.load(f)
-        if best is None or utts_per_sec > best["value"]:
-            best = {
-                "value": round(utts_per_sec, 2),
-                "step_ms": round(dt * 1000, 1),
-                "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
-            }
-            with open(best_path, "w") as f:
-                json.dump(best, f)
-    except OSError:
-        pass
-    if best is not None and utts_per_sec < 0.5 * best["value"]:
-        result["unit"] += (
-            f" [degraded/shared chip this run; best clean measurement "
-            f"{best['value']} utts/s ({best['when']})]"
-        )
-        result["vs_baseline"] = round(
-            utts_per_sec / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2
-        )
-    print(json.dumps(result))
-    try:
-        with open(
-            os.path.join(os.path.dirname(__file__), "BENCH_LAST.json"), "w"
-        ) as f:
-            json.dump(result, f)
-    except OSError:
-        pass
-    print(
-        f"# step {dt * 1000:.1f} ms | audio-sec/sec "
-        f"{B * SECS / dt:.0f} | loss {final_loss:.2f} | "
-        f"backend {jax.default_backend()}",
-        file=sys.stderr,
+    print(json.dumps(out))
+
+
+def mode_components():
+    """Telescoped component split of the SAME program family (VERDICT r2
+    item 2): encode-fwd, full fwd+bwd, full step (plus full-loss-fwd when
+    BENCH_COMP_FULL=1 — a 4th big compile regularly blows the child's
+    window on the tunneled backend). Each is an independent steady-state
+    measurement; differences give loss+backward and optimizer costs, and
+    the largest (full step) must reconcile with the headline."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    _warm()
+    model, cfg, tx, state, step_cfg, batch, (B, SECS, U) = _setup(
+        _default_chunk()
+    )
+    from indic_cl_asr_tpu.audio.features import log_mel_spectrogram
+    from indic_cl_asr_tpu.train.step import (
+        hybrid_forward_loss,
+        make_train_step,
     )
 
+    mel, mel_lens = log_mel_spectrogram(
+        batch["audio"], batch["audio_len"], step_cfg.frontend
+    )
+    mel = jax.block_until_ready(mel)
 
-if __name__ == "__main__":
-    # the tunneled TPU backend can fault transiently (UNAVAILABLE/ABORTED,
-    # esp. during first-program warmup); retry in a fresh process state
-    import subprocess
-    import traceback
+    variables = state.variables
 
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
-    if os.environ.get("BENCH_CHILD") == "1":
-        main()
-        sys.exit(0)
-    for i in range(attempts):
-        r = subprocess.run(
-            [sys.executable, __file__],
-            env={**os.environ, "BENCH_CHILD": "1"},
-            capture_output=True, text=True, timeout=3600,
+    def encode_fwd(variables, mel, mel_lens):
+        f, enc_lens = model.apply(
+            variables, mel, mel_lens, False, method="encode"
         )
-        out = r.stdout.strip()
-        if r.returncode == 0 and '"metric"' in out:
-            print(out.splitlines()[-1] if "\n" in out else out)
-            print(r.stderr.strip()[-500:], file=sys.stderr)
-            break
+        return jnp.sum(f.astype(jnp.float32))
+
+    def loss_fwd(params, batch_stats, batch, rng):
+        loss, _ = hybrid_forward_loss(
+            model, cfg, step_cfg, params, batch_stats,
+            batch["audio"], batch["audio_len"], batch["tokens"],
+            batch["token_len"], batch["lang_ids"], rng, train=True,
+        )
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fwd)
+    step = jax.jit(make_train_step(model, cfg, step_cfg, tx))
+
+    def time_prog(name, fn, args_for, n=20):
+        # compile + 1 re-run warmup
+        out = fn(*args_for(0))
+        jax.block_until_ready(out)
+        out = fn(*args_for(1))
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for i in range(n):
+            out = fn(*args_for(2 + i))
+        jax.block_until_ready(out)
+        ms = (time.time() - t0) / n * 1000
+        print(f"# {name}: {ms:.2f} ms", file=sys.stderr)
+        return round(ms, 2)
+
+    comp = {}
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+    jenc = jax.jit(encode_fwd)
+    comp["encode_fwd_ms"] = time_prog(
+        "encode_fwd", jenc, lambda i: (variables, mel, mel_lens)
+    )
+    if os.environ.get("BENCH_COMP_FULL") == "1":
+        jloss = jax.jit(loss_fwd)
+        comp["loss_fwd_ms"] = time_prog(
+            "loss_fwd", jloss,
+            lambda i: (variables["params"], variables["batch_stats"],
+                       batch, keys[i % 64]),
+        )
+    comp["fwd_bwd_ms"] = time_prog(
+        "fwd_bwd", grad_fn,
+        lambda i: (variables["params"], variables["batch_stats"], batch,
+                   keys[i % 64]),
+    )
+    # full step WITHOUT donation so `state` can be reused per call (the
+    # donated headline loop is mode_step's job)
+    comp["full_step_ms"] = time_prog(
+        "full_step", step, lambda i: (state, batch, keys[i % 64])
+    )
+    comp["derived"] = {
+        "loss_and_backward_ms": round(
+            comp["fwd_bwd_ms"] - comp["encode_fwd_ms"], 2
+        ),
+        "optimizer_ms": round(
+            comp["full_step_ms"] - comp["fwd_bwd_ms"], 2
+        ),
+    }
+    if "loss_fwd_ms" in comp:
+        comp["derived"]["joint_lattice_fwd_ms"] = round(
+            comp["loss_fwd_ms"] - comp["encode_fwd_ms"], 2
+        )
+        comp["derived"]["backward_ms"] = round(
+            comp["fwd_bwd_ms"] - comp["loss_fwd_ms"], 2
+        )
+    print(json.dumps({"mode": "components", "components": comp}))
+
+
+def mode_canary():
+    """Tc=64 miscompile canary (VERDICT r2 item 6): one step at Tc=32 and
+    one at Tc=64 at flagship tile shapes; assert loss equality and no
+    fault, and record the libtpu/platform version the result is keyed to.
+    The known-bad tunnel faults the Tc=64 program — a fault here is
+    reported as tc64_ok=false, not an error."""
+    import jax
+
+    _warm()
+    ver = _platform_version()
+    losses = {}
+    fault = None
+    for tc in (32, 64):
+        model, cfg, tx, state, step_cfg, batch, _ = _setup(tc)
+        from indic_cl_asr_tpu.train.step import make_train_step
+
+        step = jax.jit(make_train_step(model, cfg, step_cfg, tx))
+        try:
+            state, aux = step(state, batch, jax.random.PRNGKey(0))
+            losses[tc] = float(aux["train_loss"])
+            print(f"# canary Tc={tc}: loss={losses[tc]:.6f}",
+                  file=sys.stderr)
+        except Exception as e:  # the known-bad tunnel FAULTS Tc=64
+            losses[tc] = None
+            fault = f"Tc={tc}: {type(e).__name__}: {str(e)[:200]}"
+            print(f"# canary {fault}", file=sys.stderr)
+            break  # a worker fault poisons the rest of this process
+    ok = (
+        losses.get(32) is not None and losses.get(64) is not None
+        and abs(losses[32] - losses[64])
+        <= 1e-3 * max(1.0, abs(losses[32]))
+    )
+    print(json.dumps({
+        "mode": "canary", "tc64_ok": bool(ok),
+        "loss_tc32": losses.get(32), "loss_tc64": losses.get(64),
+        "fault": fault, "platform_version": ver,
+    }))
+
+
+def _run_child(mode: str, timeout: int, attempts: int = 1):
+    """Run one bench mode in a fresh process; return its parsed JSON line
+    or None. One heavy program family per process (tunnel reliability)."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_CHILD": mode},
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {mode} child timed out", file=sys.stderr)
+            time.sleep(30)
+            continue
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if d.get("mode") == mode:
+                    print(r.stderr.strip()[-600:], file=sys.stderr)
+                    return d
+            except json.JSONDecodeError:
+                continue
         print(
-            f"# bench attempt {i + 1}/{attempts} failed "
+            f"# {mode} child attempt {i + 1}/{attempts} failed "
             f"(rc={r.returncode}): {r.stderr.strip()[-300:]}",
             file=sys.stderr,
         )
         time.sleep(45)
-    else:
+    return None
+
+
+def _load_json(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_json(path, obj):
+    try:
+        with open(path, "w") as f:
+            json.dump(obj, f)
+    except OSError:
+        pass
+
+
+def main():
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    step = _run_child("step", timeout=2400, attempts=attempts)
+    if step is None:
         # all attempts faulted (the tunneled TPU backend has multi-hour
-        # outages) — fall back to the last successful measurement, clearly
-        # marked as cached
-        last = os.path.join(os.path.dirname(__file__), "BENCH_LAST.json")
-        if os.path.exists(last):
-            with open(last) as f:
-                cached = json.load(f)
+        # outages) — fall back to the last successful measurement,
+        # clearly marked as cached
+        cached = _load_json(os.path.join(_REPO, "BENCH_LAST.json"))
+        if cached is not None:
             cached["unit"] += " [CACHED: TPU backend faulted this run]"
             print(json.dumps(cached))
-            sys.exit(0)
-        traceback.print_exc()
-        sys.exit(1)
+            return 0
+        print("# no measurement and no cache", file=sys.stderr)
+        return 1
+
+    utts = step["utts_per_sec"]
+    result = {
+        "metric": "train_utts_per_sec_per_chip",
+        "value": utts,
+        "unit": "utts/s (B=16, 8s utts, 124.6M-param hybrid)",
+        "vs_baseline": round(utts / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2),
+        "step_ms": step["step_ms"],
+        "mfu": step["mfu"],
+        "platform_version": step.get("platform_version", "unknown"),
+    }
+
+    _write_json(os.path.join(_REPO, "BENCH_PARTS.json"), {"step": step})
+
+    # The audit children (components + canary) cost 3 more big compiles on
+    # the chip; don't burn them proving a window that is obviously
+    # contended (the chip intermittently degrades >10x; observed 3-157
+    # utts/s on identical programs). Threshold: half the baseline anchor.
+    min_audit = float(os.environ.get("BENCH_MIN_UTTS_FOR_AUDIT", "20"))
+    audit = utts >= min_audit
+
+    # Component split (audit trail): headline is "verified" only when the
+    # independently-measured full step reconciles with it within 25%.
+    if os.environ.get("BENCH_COMPONENTS", "1") == "1" and audit:
+        comp = _run_child("components", timeout=3300)
+        if comp is not None:
+            result["components"] = comp["components"]
+            full = comp["components"]["full_step_ms"]
+            result["verified"] = bool(
+                abs(full - step["step_ms"]) <= 0.25 * step["step_ms"]
+            )
+        else:
+            result["verified"] = False
+    else:
+        result["verified"] = False
+        if not audit:
+            result["audit_skipped"] = (
+                f"step {utts} utts/s < {min_audit}: contended window"
+            )
+
+    # Tc=64 miscompile canary, keyed to the platform version string.
+    if os.environ.get("BENCH_CANARY", "1") == "1" and audit:
+        can = _run_child("canary", timeout=2400)
+        result["tc64_ok"] = None if can is None else can["tc64_ok"]
+
+    # Best-measurement bookkeeping: a verified measurement SUPERSEDES any
+    # unverified one regardless of value (VERDICT r2: a single bogus
+    # high-water mark must not be enshrined forever); among
+    # equally-verified measurements the higher value wins.
+    best_path = os.path.join(_REPO, "BENCH_BEST.json")
+    best = _load_json(best_path)
+    cur = {
+        "value": utts,
+        "step_ms": step["step_ms"],
+        "mfu": step["mfu"],
+        "verified": result.get("verified", False),
+        "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "platform_version": result["platform_version"],
+    }
+    if best is not None:
+        best.setdefault("verified", False)
+    supersede = (
+        best is None
+        or (cur["verified"] and not best["verified"])
+        or (cur["verified"] == best["verified"]
+            and cur["value"] > best["value"])
+    )
+    if supersede:
+        best = cur
+        try:
+            with open(best_path, "w") as f:
+                json.dump(best, f)
+        except OSError:
+            pass
+    # the tunneled chip is intermittently shared/throttled (observed
+    # minute-to-minute step-time swings 70 -> 315 ms on identical
+    # programs); surface the best clean measurement when the current
+    # window is clearly degraded, so both numbers are visible
+    if best is not None and utts < 0.5 * best["value"]:
+        result["unit"] += (
+            f" [degraded/shared chip this run; best "
+            f"{'verified' if best['verified'] else 'unverified'} "
+            f"measurement {best['value']} utts/s ({best['when']})]"
+        )
+        result["vs_baseline_best"] = round(
+            best["value"] / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2
+        )
+
+    print(json.dumps(result))
+    try:
+        with open(os.path.join(_REPO, "BENCH_LAST.json"), "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    mode = os.environ.get("BENCH_CHILD", "")
+    if mode in ("1", "step"):
+        mode_step()
+    elif mode == "components":
+        mode_components()
+    elif mode == "canary":
+        mode_canary()
+    else:
+        sys.exit(main())
