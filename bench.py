@@ -240,60 +240,91 @@ def mode_components():
 
     variables = state.variables
 
-    def encode_fwd(variables, mel, mel_lens):
-        f, enc_lens = model.apply(
-            variables, mel, mel_lens, False, method="encode"
-        )
-        return jnp.sum(f.astype(jnp.float32))
+    # EVERY timed program must CHAIN through its predecessor's output:
+    # independent identical dispatches on the tunneled backend do not
+    # serialize observably (blocking on the last of 20 independent
+    # dispatches measured 0.08 ms/encode — physically impossible), so each
+    # iteration folds the previous scalar result into the next input,
+    # forcing true sequential device execution exactly like the step
+    # loop's donated-state chain.
 
-    def loss_fwd(params, batch_stats, batch, rng):
+    def encode_fwd(variables, mel, mel_lens, carry):
+        f, enc_lens = model.apply(
+            variables, mel + carry, mel_lens, False, method="encode"
+        )
+        return jnp.sum(f.astype(jnp.float32)) * 1e-30
+
+    def loss_fwd(params, batch_stats, batch, rng, carry):
         loss, _ = hybrid_forward_loss(
             model, cfg, step_cfg, params, batch_stats,
-            batch["audio"], batch["audio_len"], batch["tokens"],
+            batch["audio"] + carry, batch["audio_len"], batch["tokens"],
             batch["token_len"], batch["lang_ids"], rng, train=True,
         )
         return loss
 
-    grad_fn = jax.value_and_grad(loss_fwd)
-    step = jax.jit(make_train_step(model, cfg, step_cfg, tx))
+    def fwd_bwd(params, batch_stats, batch, rng, carry):
+        loss, grads = jax.value_and_grad(loss_fwd)(
+            params, batch_stats, batch, rng, carry
+        )
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+            grads, jnp.float32(0),
+        )
+        return (loss + gnorm) * 1e-30
 
-    def time_prog(name, fn, args_for, n=20):
-        # compile + 1 re-run warmup
-        out = fn(*args_for(0))
-        jax.block_until_ready(out)
-        out = fn(*args_for(1))
-        jax.block_until_ready(out)
+    step = jax.jit(make_train_step(model, cfg, step_cfg, tx))
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+
+    def time_chained(name, fn, args_for, n=20):
+        # args_for(i, carry) -> argument tuple; fn returns a tiny scalar
+        # folded into the next call's input
+        carry = jnp.float32(0)
+        carry = fn(*args_for(0, carry))  # compile
+        carry = fn(*args_for(1, carry))  # steady-state warmup
+        float(carry)  # host sync
         t0 = time.time()
         for i in range(n):
-            out = fn(*args_for(2 + i))
-        jax.block_until_ready(out)
+            carry = fn(*args_for(2 + i, carry))
+        float(carry)  # host read: the chain forces all n executions
         ms = (time.time() - t0) / n * 1000
         print(f"# {name}: {ms:.2f} ms", file=sys.stderr)
         return round(ms, 2)
 
     comp = {}
-    keys = jax.random.split(jax.random.PRNGKey(0), 64)
     jenc = jax.jit(encode_fwd)
-    comp["encode_fwd_ms"] = time_prog(
-        "encode_fwd", jenc, lambda i: (variables, mel, mel_lens)
+    comp["encode_fwd_ms"] = time_chained(
+        "encode_fwd", jenc, lambda i, c: (variables, mel, mel_lens, c)
     )
     if os.environ.get("BENCH_COMP_FULL") == "1":
         jloss = jax.jit(loss_fwd)
-        comp["loss_fwd_ms"] = time_prog(
+        comp["loss_fwd_ms"] = time_chained(
             "loss_fwd", jloss,
-            lambda i: (variables["params"], variables["batch_stats"],
-                       batch, keys[i % 64]),
+            lambda i, c: (variables["params"], variables["batch_stats"],
+                          batch, keys[i % 64], c * 1e-30),
         )
-    comp["fwd_bwd_ms"] = time_prog(
-        "fwd_bwd", grad_fn,
-        lambda i: (variables["params"], variables["batch_stats"], batch,
-                   keys[i % 64]),
+    jgrad = jax.jit(fwd_bwd)
+    comp["fwd_bwd_ms"] = time_chained(
+        "fwd_bwd", jgrad,
+        lambda i, c: (variables["params"], variables["batch_stats"],
+                      batch, keys[i % 64], c),
     )
-    # full step WITHOUT donation so `state` can be reused per call (the
-    # donated headline loop is mode_step's job)
-    comp["full_step_ms"] = time_prog(
-        "full_step", step, lambda i: (state, batch, keys[i % 64])
-    )
+
+    # full step chains naturally through the returned TrainState
+    def run_step(state, batch, key):
+        return step(state, batch, key)
+
+    s = state
+    s, aux = run_step(s, batch, keys[0])  # compile
+    s, aux = run_step(s, batch, keys[1])
+    float(aux["train_loss"])
+    t0 = time.time()
+    n = 20
+    for i in range(n):
+        s, aux = run_step(s, batch, keys[(2 + i) % 64])
+    float(aux["train_loss"])
+    comp["full_step_ms"] = round((time.time() - t0) / n * 1000, 2)
+    print(f"# full_step: {comp['full_step_ms']} ms", file=sys.stderr)
+
     comp["derived"] = {
         "loss_and_backward_ms": round(
             comp["fwd_bwd_ms"] - comp["encode_fwd_ms"], 2

@@ -56,7 +56,15 @@ class StepTimer:
             self.times.append(dt)
 
     def time_fn(self, fn, *args, iters: int = 10, **kw):
-        """Time fn(*args) with sync; returns stats dict."""
+        """Time fn(*args) with sync; returns stats dict.
+
+        Syncs EVERY iteration: on the tunneled TPU backend, blocking only
+        on the last of N identical independent dispatches does not wait
+        for the other N-1 (measured 0.08 ms for a 124M-param encoder
+        forward), so a loop-then-final-block pattern under-reports
+        arbitrarily. The per-iteration host round-trip biases small
+        kernels upward; for sub-ms kernels chain the computation instead
+        (see bench.py mode_components)."""
         out = fn(*args, **kw)
         jax.block_until_ready(out)  # compile + warmup
         for _ in range(self.warmup):
@@ -65,7 +73,7 @@ class StepTimer:
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args, **kw)
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)
         per = (time.perf_counter() - t0) / iters
         self.times.append(per)
         return {"mean_s": per, "iters": iters}

@@ -118,7 +118,10 @@ def main(argv=None):
         t0 = time.time()
         for _ in range(args.iters):
             ids, out_lens = fn(variables, audio, lens)
-        jax.block_until_ready(out_lens)
+            # per-iteration sync: identical independent dispatches on the
+            # tunneled backend do not serialize observably — blocking only
+            # on the final result under-reports (see StepTimer.time_fn)
+            jax.block_until_ready(out_lens)
         dt = (time.time() - t0) / args.iters
         print(json.dumps({
             "metric": "eval_utts_per_sec",
