@@ -33,6 +33,7 @@ from ..audio.spec_augment import SpecAugmentConfig, spec_augment
 from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
 from ..ops.ctc_loss import ctc_loss
 from ..ops.rnnt_loss_fused import rnnt_loss_fused
+from ..utils.rng import fast_dropout_key
 from .state import TrainState
 
 
@@ -49,6 +50,11 @@ class StepConfig:
     use_spec_augment: bool = True
     rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
     ctc_impl: str = "native"  # "native" (scan lattice) | "optax"
+    # Draw dropout masks with the hardware RngBitGenerator (`rbg` keys)
+    # instead of threefry: ~11 ms/step of pure mask-RNG at flagship shapes
+    # (utils/rng.py has the measurement). Same Bernoulli(p) distribution,
+    # different deterministic stream.
+    fast_dropout_rng: bool = True
 
 
 def hybrid_forward_tensors(
@@ -116,6 +122,9 @@ def hybrid_forward_loss(
     reductions keep the loss exact (reference's final batch is simply
     smaller, audio_to_text.py:57-116)."""
     k_dither, k_spec, k_drop, k_joint = jax.random.split(rng, 4)
+    if train and step_cfg.fast_dropout_rng:
+        k_drop = fast_dropout_key(k_drop)
+        k_joint = fast_dropout_key(k_joint)
 
     (f_proj, g_proj, ctc_lp, head_w, head_b, f, enc_lens,
      new_batch_stats) = hybrid_forward_tensors(
