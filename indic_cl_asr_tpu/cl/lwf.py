@@ -41,6 +41,13 @@ class LwFConfig:
     knowledge_distillation: float = 0.1       # kd weight
     knowledge_distillation_ctx: float = 1.0   # kd_ctx: ctc share
     faithful_raw_logits: bool = False
+    # Storage dtype for the frozen teacher pytree. LwF holds teacher +
+    # student + AdamW moments at once (~4x params, SURVEY.md §7 hard-part
+    # 5); "bfloat16" halves the teacher's HBM. The teacher forward already
+    # COMPUTES in bf16 (flagship compute dtype), so storing bf16 only
+    # moves the cast from apply-time to snapshot-time; "float32" keeps the
+    # reference's exact teacher numerics.
+    teacher_dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -49,13 +56,26 @@ class LwFState:
     teacher_batch_stats: Any = None
 
 
-def end_task(params: Any, batch_stats: Any) -> LwFState:
+def end_task(
+    params: Any, batch_stats: Any, teacher_dtype: str = "float32"
+) -> LwFState:
     """Snapshot the just-trained weights as the next task's teacher —
     replaces save_model/load_state_dict disk IPC (cl_baseline_lwf.py:
-    220-234)."""
+    220-234). The `jnp.array` copy (optionally downcast to bf16, see
+    LwFConfig.teacher_dtype) also decouples the teacher's buffers from
+    the donated student TrainState."""
+    dt = jnp.dtype(teacher_dtype)
+
+    def snap(x):
+        x = jnp.asarray(x)
+        # only downcast float leaves; ints (step counters etc.) stay
+        if dt != jnp.float32 and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.array(x, dtype=dt)
+        return jnp.array(x)
+
     return LwFState(
-        teacher_params=jax.tree.map(jnp.array, params),
-        teacher_batch_stats=jax.tree.map(jnp.array, batch_stats),
+        teacher_params=jax.tree.map(snap, params),
+        teacher_batch_stats=jax.tree.map(snap, batch_stats),
     )
 
 

@@ -220,7 +220,7 @@ class LwFMethod(CLMethod):
 
     def make_train_step(self, base_builder: Callable, task_idx: int):
         if task_idx == 0 or self.state.teacher_params is None:
-            return jax.jit(base_builder(None))
+            return jax.jit(base_builder(None), donate_argnums=(0,))
 
         model, model_cfg, step_cfg = self.model, self.model_cfg, self.step_cfg
         lcfg = self.cfg
@@ -296,10 +296,16 @@ class LwFMethod(CLMethod):
                 aux,
             )
 
-        return jax.jit(lwf_step)
+        # state donated like the base step; the teacher closure holds
+        # `jnp.array` COPIES of the previous task's params (lwf.end_task),
+        # so donating the student state never invalidates the teacher.
+        return jax.jit(lwf_step, donate_argnums=(0,))
 
     def end_task(self, state: TrainState, acc, n_batches, total_utterances):
-        self.state = L.end_task(state.params, state.batch_stats)
+        self.state = L.end_task(
+            state.params, state.batch_stats,
+            teacher_dtype=self.cfg.teacher_dtype,
+        )
 
     def export_state(self):
         if self.state.teacher_params is None:

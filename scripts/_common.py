@@ -19,6 +19,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Honor JAX_PLATFORMS explicitly: some PJRT plugin installs (e.g. the
+# tunneled-TPU `axon` plugin) register themselves in a way that silently
+# overrides the env var, so `JAX_PLATFORMS=cpu scripts/cl_*.py` would land
+# on the TPU anyway. jax.config.update before first backend use always
+# wins. No-op when the env var is absent or already honored.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 from indic_cl_asr_tpu.audio.features import FrontendConfig

@@ -21,6 +21,12 @@ def main(argv=None):
             knowledge_distillation_ctx=(
                 cfg.cl_config.knowledge_distillation_ctx
             ),
+            faithful_raw_logits=getattr(
+                cfg.cl_config, "faithful_raw_logits", False
+            ),
+            teacher_dtype=getattr(
+                cfg.cl_config, "teacher_dtype", "float32"
+            ),
         ),
         model=ctx["model"],
         model_cfg=ctx["model_cfg"],

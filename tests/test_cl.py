@@ -156,6 +156,33 @@ class TestLwF:
             np.asarray(params["a"]["w"]),
         )
 
+    def test_end_task_snapshot_is_a_copy(self):
+        # the teacher must survive donation of the TrainState it came
+        # from (driver jits with donate_argnums=(0,)) — i.e. it must not
+        # alias the source buffers
+        params = small_params()
+        st = lwf.end_task(params, {"bn": jnp.ones(2)})
+        src = params["a"]["w"]
+        snap = st.teacher_params["a"]["w"]
+        assert snap.unsafe_buffer_pointer() != src.unsafe_buffer_pointer()
+
+    def test_end_task_bf16_teacher(self):
+        # SURVEY §7 hard-part 5: bf16 teacher halves LwF's extra HBM;
+        # float leaves downcast, non-float leaves untouched
+        params = small_params()
+        params["a"]["idx"] = jnp.arange(3, dtype=jnp.int32)
+        st = lwf.end_task(
+            params, {"bn": jnp.ones(2)}, teacher_dtype="bfloat16"
+        )
+        assert st.teacher_params["a"]["w"].dtype == jnp.bfloat16
+        assert st.teacher_params["a"]["idx"].dtype == jnp.int32
+        assert st.teacher_batch_stats["bn"].dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(st.teacher_params["a"]["w"], np.float32),
+            np.asarray(params["a"]["w"]),
+            rtol=8e-3,
+        )
+
 
 class TestLwFFaithfulMode:
     def test_raw_logit_mode_matches_reference_formula(self, rng):
