@@ -18,16 +18,25 @@ def setup_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    auto_init: bool = False,
 ) -> tuple[int, int]:
     """Initialize multi-host JAX if needed. Returns (process_index,
     process_count). Single-host (and the tests' virtual mesh) needs no
-    initialization at all."""
+    initialization at all.
+
+    On Cloud TPU pod slices the coordinator/process layout is discovered
+    from TPU metadata, so an ARGLESS ``jax.distributed.initialize()`` is
+    the whole bring-up (`auto_init`, used by scripts/launch_tpu.sh via
+    INDIC_ASR_MULTIHOST=1); explicit endpoint args are only for
+    non-TPU-metadata environments."""
     if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif auto_init:
+        jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 

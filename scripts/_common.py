@@ -80,6 +80,26 @@ def setup(argv=None, config_path: str | None = None, notes_default: str = "",
             "jax_compilation_cache_dir",
             os.environ["JAX_COMPILATION_CACHE_DIR"],
         )
+    # pod-slice bring-up (scripts/launch_tpu.sh contract): on Cloud TPU the
+    # coordinator is discovered from TPU metadata, so initialize() needs no
+    # endpoint args — the reference's torchrun rendezvous (sbatch.sh:50-59)
+    # has no TPU analogue beyond this one call
+    if os.environ.get("INDIC_ASR_MULTIHOST") == "1":
+        from indic_cl_asr_tpu.parallel.distributed import setup_distributed
+
+        pidx, pcount = setup_distributed(
+            coordinator_address=os.environ.get("INDIC_ASR_COORDINATOR"),
+            num_processes=(
+                int(os.environ["INDIC_ASR_NUM_PROCESSES"])
+                if os.environ.get("INDIC_ASR_NUM_PROCESSES") else None
+            ),
+            process_id=(
+                int(os.environ["INDIC_ASR_PROCESS_ID"])
+                if os.environ.get("INDIC_ASR_PROCESS_ID") else None
+            ),
+            auto_init=True,
+        )
+        print(f"# multihost: process {pidx}/{pcount}")
     return cfg, ns
 
 
