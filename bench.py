@@ -52,8 +52,13 @@ import time
 REFERENCE_A100_UTTS_PER_SEC_ESTIMATE = 40.0
 # Analytic fwd+bwd FLOPs per batch at the working point (see module
 # docstring derivation; 2 FLOPs/MAC): used for the MFU line. v5e bf16
-# peak is 197 TFLOP/s/chip.
+# peak is 197 TFLOP/s/chip. Audited against XLA's own cost model
+# (scripts/flops_audit.py, unrolled stack so scan bodies count x17):
+# XLA counts 1.845 TFLOP for the full step — the +23% over the analytic
+# figure is rematerialized compute from the chunk+remat joint, which the
+# MFU convention excludes (model FLOPs, not executed FLOPs).
 ANALYTIC_STEP_TFLOPS = 1.5
+XLA_COUNTED_STEP_TFLOPS = 1.845  # scripts/flops_audit.py, 2026-08-17
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 # NOTE: do NOT enable the persistent compilation cache here — cached
