@@ -110,11 +110,37 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 
 
 def batch_shardings(batch: Any, mesh: Mesh) -> Any:
-    """Leading axis of every array in the batch dict over the data axis."""
+    """Leading axis of every array in the batch dict over the data axis;
+    scalars (e.g. the `n_valid` row count) replicate."""
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))),
+        lambda x: NamedSharding(
+            mesh,
+            P("data", *([None] * (x.ndim - 1))) if x.ndim >= 1 else P(),
+        ),
         batch,
     )
+
+
+def place_batch(batch: Any, mesh: Mesh) -> Any:
+    """Put a host batch dict onto the mesh, data-axis sharded.
+
+    Single-controller (tests, one-host TPU slices like v5e-8): a plain
+    device_put. Multi-host (scripts/launch_tpu.sh pods): every process is
+    expected to have assembled the IDENTICAL global batch — the drivers'
+    BatchPipeline is deterministic in (entries, seed), and build_data does
+    not shard entries per host — and each process contributes the rows its
+    devices own via `make_array_from_callback` (the jax.Array analogue of
+    the reference's DistributedSampler + DDP input contract,
+    cl_baseline.py:133-134)."""
+    shardings = batch_shardings(batch, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, batch, shardings)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

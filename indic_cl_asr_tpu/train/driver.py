@@ -133,9 +133,18 @@ def run_sequence(
     transcriber: Transcriber | None = None,
     checkpointer: SequenceCheckpointer | None = None,
     languages: Sequence[str] | None = None,
+    mesh=None,
 ) -> dict:
     """Sequential CL over languages. Returns the val-performance dict
-    ({lang: [perf-record per task]}) used for BWT analysis."""
+    ({lang: [perf-record per task]}) used for BWT analysis.
+
+    ``mesh`` (a `jax.sharding.Mesh` with "data"/"model" axes, built by
+    `parallel.sharding.make_mesh`): when given, the TrainState is sharded
+    per PARAM_RULES and every batch is placed data-axis-sharded; the SAME
+    jitted step then runs SPMD — GSPMD inserts the gradient all-reduces
+    (DP) and tensor-parallel collectives (TP), replacing the reference's
+    DDP/NCCL wrap (cl_baseline.py:133-134). Eval and the importance epoch
+    run on the sharded state unchanged."""
     languages = list(languages or LANGUAGES[: cfg.n_langs])
     transcriber = transcriber or Transcriber(
         model=model, model_cfg=model_cfg, tokenizer=tokenizer,
@@ -160,6 +169,14 @@ def run_sequence(
             start_idx = idx + 1
             logger.log({"resumed_from_task": idx, "resumed_lang": lang})
 
+    if mesh is not None:
+        from ..parallel.sharding import place_batch, shard_train_state
+
+        state = shard_train_state(state, mesh)
+        to_device = lambda b: place_batch(batch_to_device_dict(b), mesh)  # noqa: E731
+    else:
+        to_device = batch_to_device_dict
+
     for lang_idx in range(start_idx, len(languages)):
         lang = languages[lang_idx]
         data = task_data[lang]
@@ -175,7 +192,7 @@ def run_sequence(
             n_utts = 0
             for batch in pipe:
                 key, sub = jax.random.split(key)
-                state, aux = step(state, batch_to_device_dict(batch), sub)
+                state, aux = step(state, to_device(batch), sub)
                 n_utts += batch.n_real
                 logger.log(
                     {f"train/{k}_{lang}": v for k, v in aux.items()}
@@ -211,7 +228,7 @@ def run_sequence(
             for batch in pipe:
                 key, sub = jax.random.split(key)
                 acc = method.importance_batch(
-                    acc, state, batch_to_device_dict(batch), sub
+                    acc, state, to_device(batch), sub
                 )
                 n_batches += 1
                 total_utts += batch.n_real

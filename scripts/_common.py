@@ -276,6 +276,17 @@ def build_all(cfg, ns):
     )
     logger.log({"config": cfg.to_dict(), "notes": ns.notes})
 
+    # Self-contained run dir (the .nemo-bundle analogue: the reference
+    # packs config + tokenizer + weights into one tar,
+    # save_restore_connector.py:220): persist the resolved config and the
+    # tokenizer next to the checkpoints so scripts/transcribe.py can
+    # restore ANY run later without the original flags or dataset.
+    import json as _json
+
+    with open(os.path.join(logger.dir, "config.json"), "w") as f:
+        _json.dump(cfg.to_dict(), f, indent=2, default=str)
+    tokenizer.save(os.path.join(logger.dir, "tokenizer"))
+
     driver_cfg = DriverConfig(
         batch_size=cfg.batch_size,
         epochs=cfg.epochs,
@@ -293,10 +304,29 @@ def build_all(cfg, ns):
         if cfg.get("resume_dir") is None
         else SequenceCheckpointer(cfg.resume_dir)
     )
+
+    # --mesh.data N --mesh.model M: DP x TP SPMD training (data: 0 = all
+    # visible devices / model). mesh=None keeps the single-device path.
+    mesh = None
+    mc = cfg.get("mesh", {})
+    n_model = int(mc.get("model", 1))
+    n_data = int(mc.get("data", 1))
+    if n_model > 1 or n_data > 1 or n_data == 0:
+        from indic_cl_asr_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(
+            n_data=(None if n_data == 0 else n_data), n_model=n_model
+        )
+        print(
+            f"# mesh: data={mesh.shape['data']} x "
+            f"model={mesh.shape['model']} on {len(mesh.devices.flat)} "
+            f"devices", file=sys.stderr,
+        )
+
     return dict(
         cfg=cfg, languages=languages, task_data=task_data,
         tokenizer=tokenizer, model_cfg=model_cfg, model=model, state=state,
-        mask=mask, tx=tx, step_cfg=step_cfg,
+        mask=mask, tx=tx, step_cfg=step_cfg, mesh=mesh,
         base_step_builder=base_step_builder, logger=logger,
         driver_cfg=driver_cfg, checkpointer=checkpointer,
     )

@@ -32,6 +32,7 @@ def main(argv=None):
         trainable_mask=ctx["mask"],
         checkpointer=ctx["checkpointer"],
         languages=ctx["languages"],
+        mesh=ctx["mesh"],
     )
     ctx["logger"].close()
     return results

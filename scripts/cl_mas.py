@@ -31,6 +31,7 @@ def main(argv=None):
         task_data=ctx["task_data"], tokenizer=ctx["tokenizer"],
         logger=ctx["logger"], trainable_mask=ctx["mask"],
         checkpointer=ctx["checkpointer"], languages=ctx["languages"],
+        mesh=ctx["mesh"],
     )
     ctx["logger"].close()
     return results
