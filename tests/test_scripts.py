@@ -163,3 +163,72 @@ def test_cl_baseline_resume_from_sequence_dir(tmp_path):
     for l in langs:
         for r1, r2 in zip(res1["val"][l], res2["val"][l]):
             assert r1 == r2
+
+
+@pytest.mark.slow
+def test_transcribe_cli_from_run_dir(tmp_path):
+    """Runs are self-contained (config.json + tokenizer/ + sequence/):
+    scripts/transcribe.py must restore a finished CL run with no original
+    flags or dataset and transcribe new WAV files — the reference's
+    from_pretrained -> model.transcribe() flow (cl_baseline.py:122,
+    hybrid_rnnt_ctc_models.py:262-346) on our run-dir bundle."""
+    import cl_baseline
+    import transcribe
+
+    out = str(tmp_path / "base")
+    cl_baseline.main(DRIVER_ARGS + ["--output_dir", out, "--notes", "t"])
+    run_dirs = [
+        os.path.join(out, d) for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))
+    ]
+    runs = [d for d in run_dirs if os.path.exists(
+        os.path.join(d, "config.json"))]
+    assert runs, "driver must write config.json into the run dir"
+    run = runs[0]
+    assert os.path.exists(os.path.join(run, "tokenizer", "index.json"))
+
+    rng = np.random.default_rng(1)
+    wavs = []
+    for i in range(3):
+        p = str(tmp_path / f"utt{i}.wav")
+        write_wav(p, 0.1 * rng.standard_normal(3200), 16000)
+        wavs.append(p)
+
+    out_jsonl = str(tmp_path / "hyps.jsonl")
+    hyps = transcribe.main(
+        ["--run", run, "--lang", "hindi", "--batch_size", "4",
+         "--out", out_jsonl, *wavs]
+    )
+    assert len(hyps) == 3
+    with open(out_jsonl) as f:
+        recs = [json.loads(l) for l in f]
+    assert [r["audio_filepath"] for r in recs] == wavs
+    assert all(r["lang"] == "hindi" for r in recs)
+
+    # ctc decoder + explicit --task selection on the same run
+    hyps_ctc = transcribe.main(
+        ["--run", run, "--task", "0:hindi", "--lang", "hindi",
+         "--decoder", "ctc", "--batch_size", "4", *wavs]
+    )
+    assert len(hyps_ctc) == 3
+
+    # streaming demo CLI drives StreamingASR end-to-end off a
+    # self-contained run dir; needs a causal config (causal conv +
+    # left-only attention), so train a second tiny run with those flags
+    import stream_demo
+
+    out2 = str(tmp_path / "causal")
+    cl_baseline.main(DRIVER_ARGS + [
+        "--output_dir", out2, "--notes", "t",
+        "--model.causal_conv", "true", "--model.att_context_left", "4",
+        "--model.att_context_right", "0",
+    ])
+    runs2 = [
+        os.path.join(out2, d) for d in os.listdir(out2)
+        if os.path.exists(os.path.join(out2, d, "config.json"))
+    ]
+    text = stream_demo.main(
+        ["--run", runs2[0], "--lang", "hindi", "--chunk_mel", "8",
+         "--quiet", wavs[0]]
+    )
+    assert isinstance(text, str)
