@@ -39,8 +39,37 @@ def _train_loss_series(out_dir):
     return np.asarray(series)
 
 
+def test_place_batch_multihost_branch_matches_device_put(monkeypatch, rng):
+    """The multi-process branch of place_batch (every host assembles the
+    identical global batch, `make_array_from_callback` takes this
+    process's rows) must produce arrays with the same sharding and
+    contents as the single-controller device_put branch. Forced here by
+    patching process_count on a single-host mesh, where both branches
+    are well-defined."""
+    import jax
+    import jax.numpy as jnp
+
+    from indic_cl_asr_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh(n_data=4, n_model=2)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((8, 64)), jnp.float32),
+        "audio_len": jnp.full((8,), 64, jnp.int32),
+        "n_valid": jnp.asarray(8, jnp.int32),  # 0-d: must replicate
+    }
+    placed1 = sh.place_batch(batch, mesh)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    placed2 = sh.place_batch(batch, mesh)
+    for k in batch:
+        assert placed1[k].sharding == placed2[k].sharding, k
+        np.testing.assert_array_equal(
+            np.asarray(placed1[k]), np.asarray(placed2[k])
+        )
+    assert placed1["n_valid"].sharding.spec == jax.sharding.PartitionSpec()
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("driver", ["cl_baseline", "cl_ewc"])
+@pytest.mark.parametrize("driver", ["cl_baseline", "cl_ewc", "cl_lwf"])
 def test_mesh_driver_matches_single_device(tmp_path, driver):
     mod = __import__(driver)
 
