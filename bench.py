@@ -136,13 +136,15 @@ def _setup(rnnt_chunk: int):
 
 
 def _default_chunk() -> int:
-    # 32, not the training default 64: the current tunnel/libtpu version
-    # MISCOMPILES (kernel-faults) the composed encoder+joint program at
-    # Tc=64 tile shapes, while 16/32 run clean and the loss is exactly
-    # chunk-size-invariant (tested). Bisected 2026-08-17; see
-    # docs/ROADMAP.md infra notes. The "canary" mode re-checks this every
-    # bench run so the pin can be lifted when the tunnel is fixed.
-    return int(os.environ.get("BENCH_RNNT_CHUNK", "32"))
+    # 64 — the training default, and the fastest measured (48.11 ms/step
+    # vs 48.87 at Tc=32, verified 2026-08-17). History: an earlier
+    # tunnel/libtpu build kernel-faulted the composed encoder+joint
+    # program at Tc=64 tile shapes; that miscompile was tied to the
+    # threefry dropout-mask chains and died with the rbg-key switch
+    # (utils/rng.py). The "canary" mode re-checks Tc=32 vs Tc=64 every
+    # bench run (loss equality + no fault), so a regression is caught and
+    # recorded against the libtpu version string.
+    return int(os.environ.get("BENCH_RNNT_CHUNK", "64"))
 
 
 def mode_step():

@@ -42,11 +42,13 @@ class StepConfig:
     frontend: FrontendConfig = FrontendConfig()
     spec_augment: SpecAugmentConfig = SpecAugmentConfig()
     ctc_loss_weight: float = 0.5
-    # 32 (not 64): the current tunnel/libtpu miscompiles the composed
-    # encoder+joint program at Tc=64 tile shapes (docs/ROADMAP.md
-    # 2026-08-17); 32 is equally MXU-saturating and the loss is
-    # exactly chunk-size-invariant
-    rnnt_chunk_size: int = 32
+    # 64: fastest measured at flagship shapes (48.11 ms/step vs 48.87 at
+    # Tc=32, hardware-verified 2026-08-17). An earlier tunnel/libtpu
+    # miscompile at Tc=64 died with the rbg-dropout switch (fast_dropout_rng
+    # below); bench.py's canary re-checks Tc=32 vs Tc=64 loss equality every
+    # run, so a regression would be caught. Loss is exactly
+    # chunk-size-invariant (tested).
+    rnnt_chunk_size: int = 64
     use_spec_augment: bool = True
     rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
     ctc_impl: str = "native"  # "native" (scan lattice) | "optax"
