@@ -36,6 +36,38 @@ def _activate(x, activation: str):
     raise ValueError(activation)
 
 
+@jax.custom_vjp
+def _joint_dot(inp, w):
+    """btuh,bhv->btuv with f32 accumulation AND a mixed-precision backward:
+    the cotangent arriving from log_softmax is f32, which would promote
+    both backward dots (d_inp, d_w — together 2/3 of the joint FLOPs) to
+    all-f32 matmuls at half MXU rate. Casting the cotangent to the compute
+    dtype first (bf16 at flagship) keeps them MXU-native with f32
+    accumulation — the standard AMP backward contract. No-op at f32."""
+    return jnp.einsum(
+        "btuh,bhv->btuv", inp, w, preferred_element_type=jnp.float32
+    )
+
+
+def _joint_dot_fwd(inp, w):
+    return _joint_dot(inp, w), (inp, w)
+
+
+def _joint_dot_bwd(res, g):
+    inp, w = res
+    gc = g.astype(inp.dtype)
+    d_inp = jnp.einsum(
+        "btuv,bhv->btuh", gc, w, preferred_element_type=jnp.float32
+    ).astype(inp.dtype)
+    d_w = jnp.einsum(
+        "btuh,btuv->bhv", inp, gc, preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    return d_inp, d_w
+
+
+_joint_dot.defvjp(_joint_dot_fwd, _joint_dot_bwd)
+
+
 def _chunk_logprob_slabs(
     f_chunk, g_proj, head_w, head_b, labels_pad, blank, activation,
     dropout_rate, dropout_key,
@@ -49,11 +81,15 @@ def _chunk_logprob_slabs(
             dropout_key, 1.0 - dropout_rate, inp.shape
         )
         inp = jnp.where(keep, inp / (1.0 - dropout_rate), 0.0)
+    # head_w is the raw f32 parameter gather; cast it to the compute dtype
+    # (bf16 at flagship) so the joint matmul — the largest FLOP block in
+    # the loss path — runs MXU-native with f32 ACCUMULATION instead of
+    # being silently promoted to an all-f32 dot (half MXU rate; found by
+    # auditing the lowered HLO's dot_general dtypes). log_softmax and the
+    # lattice stay f32; _joint_dot's custom VJP keeps the backward dots
+    # in the compute dtype too.
     logits = (
-        jnp.einsum(
-            "btuh,bhv->btuv", inp, head_w,
-            preferred_element_type=jnp.float32,
-        )
+        _joint_dot(inp, head_w.astype(inp.dtype))
         + head_b[:, None, None, :]
     )
     lp = jax.nn.log_softmax(logits, axis=-1)
