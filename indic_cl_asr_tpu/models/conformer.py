@@ -218,18 +218,24 @@ class RelPosSelfAttention(nn.Module):
         bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, D))
         bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, D))
 
+        # Scores ride in the COMPUTE dtype (bf16 at flagship), with f32
+        # einsum accumulation and an f32 softmax (AMP contract, below).
+        # The whole T x T/2T-1 scores path — the rel-shift pad/reshape
+        # chain and the (ac+bd)+mask assembly — is HBM-bandwidth-bound
+        # (op profile: ~8 ms/step at f32); carrying it at bf16 halves the
+        # traffic. No-op when cfg.dtype is f32 (tests/parity configs).
         # content score: (q + u) · k^T   [B, H, T, T]
         ac = jnp.einsum(
             "bthd,bshd->bhts", q + bias_u.astype(q.dtype), k,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(cfg.dtype)
         # position score: rel_shift((q + v) · p^T)   [B, H, T, T]
         bd = jnp.einsum(
             "bthd,phd->bhtp", q + bias_v.astype(q.dtype), p,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(cfg.dtype)
         bd = _rel_shift(bd)
-        scores = (ac + bd) / math.sqrt(D)  # fp32
+        scores = (ac + bd) / math.sqrt(D)  # compute dtype
 
         mask = att_mask[:, None, :, :] if att_mask is not None else None
         if cfg.global_tokens > 0:
@@ -240,8 +246,10 @@ class RelPosSelfAttention(nn.Module):
             out_override = None
 
         if mask is not None:
-            scores = jnp.where(mask, scores, -1e9)
-        attn = jax.nn.softmax(scores, axis=-1)
+            scores = jnp.where(mask, scores, jnp.asarray(-1e9, scores.dtype))
+        # softmax statistics in f32 (the converts fuse into the softmax
+        # chain; only the bf16 scores read and bf16 probs write hit HBM)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if mask is not None:
             # fully-masked (padding) query rows attend to nothing
             attn = jnp.where(mask, attn, 0.0)
@@ -298,9 +306,13 @@ class RelPosSelfAttention(nn.Module):
         else:
             gq, gk, gv = q, k, v  # shared projections
 
-        gscore = jnp.einsum(
-            "bthd,bshd->bhts", gq, gk, preferred_element_type=jnp.float32
-        ) / math.sqrt(D)
+        gscore = (
+            jnp.einsum(
+                "bthd,bshd->bhts", gq, gk,
+                preferred_element_type=jnp.float32,
+            ).astype(cfg.dtype)
+            / math.sqrt(D)
+        )
 
         if att_mask is not None:
             # per-position validity: the band always contains distance 0
