@@ -29,6 +29,64 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def _stacked_path(path, path_substr: str) -> bool:
+    parts = "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+    return path_substr in parts
+
+
+def row_sliced_stacked(
+    inner: optax.GradientTransformation,
+    n_rows: int,
+    path_substr: str = "encoder/stack/layers",
+) -> optax.GradientTransformation:
+    """Run ``inner`` only on rows [n_rows:] of every stacked encoder leaf.
+
+    With scan_layers the frozen encoder prefix lives inside [L, ...]
+    stacked leaves. Masking alone still makes AdamW hold and rewrite
+    mu/nu/params for all L rows every step — ~2/3 wasted HBM traffic at
+    the reference working point (12 of 17 layers frozen; the optimizer
+    fusions are HBM-bound in the op profile). Slicing matches the
+    reference exactly: its AdamW only ever sees requires_grad params
+    (cl_baseline.py:137, utils.py:246-263), so frozen rows have no
+    optimizer state there either. The returned updates carry an explicit
+    zero prefix (frozen rows truly never change, including weight decay).
+    """
+
+    def _slice(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: (
+                x[n_rows:]
+                if hasattr(x, "ndim") and _stacked_path(p, path_substr)
+                else x
+            ),
+            tree,
+        )
+
+    def init(params):
+        return inner.init(_slice(params))
+
+    def update(updates, state, params=None):
+        u_s, new_state = inner.update(
+            _slice(updates), state,
+            _slice(params) if params is not None else None,
+        )
+        full = jax.tree_util.tree_map_with_path(
+            lambda p, u_old, u_new: (
+                jnp.concatenate(
+                    [jnp.zeros_like(u_old[:n_rows]), u_new], axis=0
+                )
+                if hasattr(u_old, "ndim") and _stacked_path(p, path_substr)
+                else u_new
+            ),
+            updates, u_s,
+        )
+        return full, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def zero_stacked_prefix(
     n_rows: int, path_substr: str = "encoder/stack/layers"
 ) -> optax.GradientTransformation:
@@ -79,10 +137,13 @@ def make_optimizer(
             lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
         )
     )
-    if stacked_freeze_till > 0:
-        # scanned-encoder frozen prefix: see zero_stacked_prefix
-        txs.append(zero_stacked_prefix(stacked_freeze_till))
     tx = optax.chain(*txs)
+    if stacked_freeze_till > 0:
+        # scanned-encoder frozen prefix: AdamW state and updates exist
+        # only for the trainable rows (see row_sliced_stacked); the
+        # frozen rows get an explicit zero update, so weight decay never
+        # touches them (previously zero_stacked_prefix's job)
+        tx = row_sliced_stacked(tx, stacked_freeze_till)
     if trainable_mask is not None:
         # frozen leaves must get ZERO updates (optax.masked would pass raw
         # gradients through unchanged for masked-out leaves)
