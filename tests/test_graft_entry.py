@@ -93,3 +93,33 @@ def test_entry_returns_jittable():
     new_state, aux = jax.jit(fn)(*args)
     assert int(new_state.step) == 1
     assert np.isfinite(float(aux["train_loss"]))
+
+
+@pytest.mark.slow
+def test_dryrun_gate_never_initializes_a_backend():
+    """The axon plugin IGNORES JAX_PLATFORMS=cpu from the env, so a
+    'cpu-looking' env can still make jax.default_backend() initialize the
+    TPU tunnel client — which HANGS for minutes during a tunnel outage
+    (observed 2026-08-17). The gate must therefore never trigger backend
+    initialization itself: in a fresh process with JAX_PLATFORMS=cpu but
+    NO backend initialized yet, dryrun_multichip must go straight to the
+    scrubbed subprocess without ever calling jax.default_backend (poisoned
+    here to prove it)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import sys; sys.path.insert(0, '.')\n"
+        "import jax\n"
+        "def _boom(*a, **k):\n"
+        "    raise AssertionError('gate initialized a backend')\n"
+        "jax.default_backend = _boom\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-2000:]}"
+    assert "dryrun_multichip OK" in r.stdout
