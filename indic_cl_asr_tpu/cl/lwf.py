@@ -123,9 +123,12 @@ def joint_kd_chunked(
         inp = _activate(
             f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
         )
+        # cast the f32 head gather to the compute dtype so the KD joint
+        # matmul runs bf16-input/f32-accumulate on the MXU instead of a
+        # silently promoted all-f32 dot (same fix as rnnt_loss_fused)
         return (
             jnp.einsum(
-                "btuh,bhv->btuv", inp, w,
+                "btuh,bhv->btuv", inp, w.astype(inp.dtype),
                 preferred_element_type=jnp.float32,
             )
             + b[:, None, None, :]

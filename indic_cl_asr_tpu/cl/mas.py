@@ -94,9 +94,11 @@ def joint_energy_chunked(
         inp = _activate(
             f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
         )
+        # bf16-input/f32-accumulate on the MXU (same fix as
+        # rnnt_loss_fused: the f32 head gather silently promoted the dot)
         logits = (
             jnp.einsum(
-                "btuh,bhv->btuv", inp, head_w,
+                "btuh,bhv->btuv", inp, head_w.astype(inp.dtype),
                 preferred_element_type=jnp.float32,
             )
             + head_b[:, None, None, :]

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .rnnt_loss import _reduce, rnnt_nll_from_logprobs
 
@@ -80,6 +81,11 @@ def _chunk_logprob_slabs(
         keep = jax.random.bernoulli(
             dropout_key, 1.0 - dropout_rate, inp.shape
         )
+        # save the (packed bool) mask across the remat boundary: without
+        # this the backward re-runs the rng-bit-generator + compare per
+        # chunk (~1.5 ms/step at flagship in the op profile) to rebuild
+        # a mask that costs a fraction of that to store
+        keep = checkpoint_name(keep, "joint_dropout_mask")
         inp = jnp.where(keep, inp / (1.0 - dropout_rate), 0.0)
     # head_w is the raw f32 parameter gather; cast it to the compute dtype
     # (bf16 at flagship) so the joint matmul — the largest FLOP block in
@@ -92,11 +98,21 @@ def _chunk_logprob_slabs(
         _joint_dot(inp, head_w.astype(inp.dtype))
         + head_b[:, None, None, :]
     )
-    lp = jax.nn.log_softmax(logits, axis=-1)
-    lp_blank = lp[..., blank]
-    lp_label = jnp.take_along_axis(
-        lp, labels_pad[:, None, :, None].astype(jnp.int32), axis=3
-    )[..., 0]
+    # The slabs need only logsumexp + two gathered logits; a full
+    # log_softmax would materialize another [B, Tc, U+1, V+1] f32 tensor
+    # (~100 MB/chunk at flagship, again in the remat recompute) just to
+    # read 2 of its V+1 columns.
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = m[..., 0] + jnp.log(
+        jnp.sum(jnp.exp(logits - m), axis=-1)
+    )  # [B, Tc, U+1]
+    lp_blank = logits[..., blank] - lse
+    lp_label = (
+        jnp.take_along_axis(
+            logits, labels_pad[:, None, :, None].astype(jnp.int32), axis=3
+        )[..., 0]
+        - lse
+    )
     return lp_blank, lp_label
 
 
@@ -163,7 +179,10 @@ def rnnt_loss_fused(
             blank=blank,
             activation=activation,
             dropout_rate=dropout_rate,
-        )
+        ),
+        policy=jax.checkpoint_policies.save_only_these_names(
+            "joint_dropout_mask"
+        ),
     )
 
     def body(i, f_chunk):
