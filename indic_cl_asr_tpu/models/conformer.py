@@ -39,6 +39,8 @@ import math
 from typing import Any
 
 import flax.linen as nn
+
+from .common import FastDropout
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -253,7 +255,7 @@ class RelPosSelfAttention(nn.Module):
         if mask is not None:
             # fully-masked (padding) query rows attend to nothing
             attn = jnp.where(mask, attn, 0.0)
-        attn = nn.Dropout(cfg.dropout_att)(
+        attn = FastDropout(cfg.dropout_att)(
             attn, deterministic=deterministic
         ).astype(cfg.dtype)
 
@@ -389,7 +391,7 @@ class FeedForward(nn.Module):
         cfg = self.cfg
         h = nn.Dense(cfg.d_ff, dtype=cfg.dtype, name="linear1")(x)
         h = nn.swish(h)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = FastDropout(cfg.dropout)(h, deterministic=deterministic)
         return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear2")(h)
 
 
@@ -400,7 +402,7 @@ class ConformerLayer(nn.Module):
     def __call__(self, x, pos_emb, att_mask, pad_mask, train: bool):
         cfg = self.cfg
         det = not train
-        drop = nn.Dropout(cfg.dropout)
+        drop = FastDropout(cfg.dropout)
 
         h = nn.LayerNorm(dtype=cfg.dtype, name="norm_feed_forward1")(x)
         h = FeedForward(cfg, name="feed_forward1")(h, det)
@@ -564,7 +566,7 @@ class ConformerEncoder(nn.Module):
         pos_emb = rel_positional_encoding_dev(T, cfg.d_model).astype(
             cfg.dtype
         )
-        x = nn.Dropout(cfg.dropout_pre_encoder)(x, deterministic=not train)
+        x = FastDropout(cfg.dropout_pre_encoder)(x, deterministic=not train)
 
         pad_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], T), 1)

@@ -26,6 +26,8 @@ import dataclasses
 from typing import Any
 
 import flax.linen as nn
+
+from .common import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -151,7 +153,7 @@ class PredictionNetwork(nn.Module):
                 cfg.pred_hidden, dtype=cfg.dtype, name=f"lstm_{layer}"
             )(h, *h0c0)
             new_states.append((hn, cn))
-        h = nn.Dropout(cfg.dropout)(h, deterministic=not train)
+        h = FastDropout(cfg.dropout)(h, deterministic=not train)
         return h, tuple(new_states)  # [B, U(+1), H]
 
 
@@ -183,7 +185,7 @@ class RNNTJoint(nn.Module):
             nn.initializers.zeros,
             (cfg.n_langs, cfg.vocab_per_lang + 1),
         )
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = FastDropout(cfg.dropout)
 
     def project(self, f: jnp.ndarray, g: jnp.ndarray):
         """f: [B, T, He], g: [B, U, Hp] -> projected pair."""

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
+from ..utils.rng import dropout_keep_mask
 from .rnnt_loss import _reduce, rnnt_nll_from_logprobs
 
 
@@ -78,9 +79,9 @@ def _chunk_logprob_slabs(
         f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
     )  # [B, Tc, U+1, H]
     if dropout_rate > 0.0 and dropout_key is not None:
-        keep = jax.random.bernoulli(
-            dropout_key, 1.0 - dropout_rate, inp.shape
-        )
+        # 8-bit mask draw (utils/rng.py): bernoulli's uniform-f32 was
+        # ~131 MB of RngBitGenerator output per chunk at flagship
+        keep = dropout_keep_mask(dropout_key, dropout_rate, inp.shape)
         # save the (packed bool) mask across the remat boundary: without
         # this the backward re-runs the rng-bit-generator + compare per
         # chunk (~1.5 ms/step at flagship in the op profile) to rebuild

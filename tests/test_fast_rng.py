@@ -103,3 +103,40 @@ def test_flag_off_matches_legacy_threefry(rng):
     a, b = run(False), run(False)
     assert a == b  # legacy path deterministic
     assert np.isfinite(run(True))
+
+
+def test_dropout_keep_mask_rate_and_determinism():
+    from indic_cl_asr_tpu.utils.rng import dropout_keep_mask
+
+    k = fast_dropout_key(jax.random.PRNGKey(3))
+    m1 = dropout_keep_mask(k, 0.2, (200_000,))
+    m2 = dropout_keep_mask(k, 0.2, (200_000,))
+    assert m1.dtype == jnp.bool_
+    assert jnp.array_equal(m1, m2)
+    # keep prob quantized to round(0.8*256)/256 = 205/256
+    assert abs(float(m1.mean()) - 205 / 256) < 5e-3
+    m3 = dropout_keep_mask(fast_dropout_key(jax.random.PRNGKey(4)), 0.2,
+                           (200_000,))
+    assert not jnp.array_equal(m1, m3)
+    # saturating threshold keeps everything
+    tiny = dropout_keep_mask(k, 1e-4, (64,))
+    assert bool(tiny.all())
+
+
+def test_fast_dropout_module_matches_nn_dropout_contract():
+    import flax.linen as nn
+
+    from indic_cl_asr_tpu.models.common import FastDropout
+
+    x = jnp.ones((4, 1000))
+    mod = FastDropout(0.5)
+    y_det = mod.apply({}, x, True)
+    assert jnp.array_equal(y_det, x)
+    y = mod.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    kept = y != 0.0
+    # scaled by 1/keep_prob where kept
+    assert np.allclose(np.asarray(y[kept]), 2.0)
+    assert abs(float(kept.mean()) - 0.5) < 3e-2
+    # rate 0 is the identity even in train mode
+    z = FastDropout(0.0).apply({}, x, False)
+    assert jnp.array_equal(z, x)
