@@ -107,7 +107,12 @@ def _setup(rnnt_chunk: int):
     from indic_cl_asr_tpu.train.step import StepConfig
     from indic_cl_asr_tpu.utils.pytree import conformer_freeze_mask
 
-    cfg = flagship_config()
+    # the fused Pallas rel-pos attention (ops/flash_mhsa.py) is the
+    # flagship default since its hardware A/B win (full step 40.9 ->
+    # 36.9 ms, 2026-08-18); BENCH_ATTN_IMPL=xla measures the fallback
+    cfg = flagship_config(
+        attn_impl=os.environ.get("BENCH_ATTN_IMPL", "flash")
+    )
     # reference working point freezes encoder layers [0, 12): the scanned
     # encoder takes the stop-gradient cut inside the layer stack (backward
     # never enters the frozen prefix) + zeroed optimizer rows

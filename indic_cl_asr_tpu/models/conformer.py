@@ -90,6 +90,11 @@ class ConformerConfig:
     global_tokens: int = 0
     global_tokens_spacing: int = 1
     global_attn_separate: bool = False
+    # "xla" (default) or "flash": the fused Pallas rel-pos attention
+    # kernel (ops/flash_mhsa.py) — one (batch, head) row per grid step,
+    # scores/softmax/dropout entirely in VMEM. Falls back to the XLA path
+    # automatically when global_tokens > 0 or T > flash_mhsa.MAX_T.
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32  # compute dtype
 
     @property
@@ -194,6 +199,12 @@ def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, :, :, :t]
 
 
+def _flash_max_t() -> int:
+    from ..ops.flash_mhsa import MAX_T
+
+    return MAX_T
+
+
 class RelPosSelfAttention(nn.Module):
     """Transformer-XL style relative-position MHSA."""
 
@@ -212,13 +223,53 @@ class RelPosSelfAttention(nn.Module):
             cfg.d_model, use_bias=False, dtype=cfg.dtype, name="linear_pos"
         )(pos_emb)  # [2T-1, d_model]
 
+        bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, D))
+        bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, D))
+
+        if (
+            cfg.attn_impl == "flash"
+            and cfg.global_tokens == 0
+            and T <= _flash_max_t()
+            # during init the stacked-layer stack vmaps this module to
+            # build [L]-stacked params; a vmapped pallas_call mis-tiles,
+            # and init only needs shapes (no data-dependent init here),
+            # so the XLA path below serves initialization
+            and not self.is_initializing()
+        ):
+            from ..ops.flash_mhsa import flash_relpos_mhsa
+
+            # flat [B, T, H*D] straight from the projections: the kernel
+            # slices heads as 64-aligned lane windows, so NO [B,T,H,D] <->
+            # [B,H,T,D] layout transpose ever materializes
+            # per-row valid length from the mask diagonal (distance 0 is
+            # always inside the band, so the diagonal is pure padding info)
+            if att_mask is not None:
+                t_iota = jnp.arange(T)
+                lens = jnp.sum(
+                    att_mask[:, t_iota, t_iota].astype(jnp.int32), axis=1
+                )
+            else:
+                lens = jnp.full((B,), T, jnp.int32)
+            seed = None
+            drop = cfg.dropout_att if not deterministic else 0.0
+            if drop > 0.0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (1,), dtype=jnp.uint32
+                ).astype(jnp.int32)
+            left, right = cfg.att_context_size
+            out = flash_relpos_mhsa(
+                q, k, v, p, bias_u, bias_v, lens,
+                n_heads=H, left=left, right=right,
+                dropout_rate=drop, dropout_seed=seed,
+            )
+            return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear_out")(
+                out
+            )
+
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, H, D)
         v = v.reshape(B, T, H, D)
         p = p.reshape(-1, H, D)
-
-        bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, D))
-        bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, D))
 
         # Scores ride in the COMPUTE dtype (bf16 at flagship), with f32
         # einsum accumulation and an f32 softmax (AMP contract, below).

@@ -95,7 +95,9 @@ def tiny_config(**overrides) -> "HybridModelConfig":
     return HybridModelConfig(**base)
 
 
-def flagship_config(dtype=jnp.bfloat16, n_layers: int = 17) -> "HybridModelConfig":
+def flagship_config(
+    dtype=jnp.bfloat16, n_layers: int = 17, attn_impl: str = "xla"
+) -> "HybridModelConfig":
     return HybridModelConfig(
         encoder=ConformerConfig(
             feat_in=80, n_layers=n_layers, d_model=512, n_heads=8,
@@ -105,6 +107,7 @@ def flagship_config(dtype=jnp.bfloat16, n_layers: int = 17) -> "HybridModelConfi
             # depth — the 17x-unrolled program exceeds the tunneled
             # remote-compile service's request-size limit (HTTP 413)
             scan_layers=True,
+            attn_impl=attn_impl,
         ),
         vocab_size_total=3072,
         n_langs=12,

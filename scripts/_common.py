@@ -216,6 +216,10 @@ def build_model_cfg(cfg, tokenizer, languages) -> HybridModelConfig:
         global_tokens=m.get("global_tokens", 0),
         global_tokens_spacing=m.get("global_tokens_spacing", 1),
         global_attn_separate=m.get("global_attn_separate", False),
+        # --model.attn_impl {xla,flash}: fused Pallas rel-pos attention
+        # (ops/flash_mhsa.py; hardware-A/B'd faster at flagship shapes);
+        # ignored automatically when global_tokens > 0 or T is long
+        attn_impl=m.get("attn_impl", "xla"),
         dtype=dtype,
     )
     return HybridModelConfig(
