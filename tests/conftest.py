@@ -39,6 +39,9 @@ def rng():
 # tier together.
 MEDIUM_TESTS = (
     "test_att_context_and_dist.py::test_limited_context_differs",
+    "test_flash_mhsa.py::test_encoder_flash",
+    "test_flash_mhsa.py::test_flash_under_pjit_mesh",
+    "test_flash_mhsa.py::test_gradient_parity",
     "test_beam_search.py::TestRNNTBeam::test_runs_and_returns",
     "test_beam_search.py::TestRNNTBeamBatched::test_score_monotone",
     "test_checkpoint_logger.py::test_frozen_prefix_partial_save",

@@ -207,3 +207,35 @@ def test_encoder_flash_train_grads_finite():
     assert np.isfinite(float(val))
     flat = jax.tree.leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in flat)
+
+
+def test_flash_under_pjit_mesh():
+    """The kernel must compose with GSPMD sharding (DP x TP mesh training
+    is driver-level: scripts --mesh.data/--mesh.model). Batch-sharded
+    inputs through the flash encoder on the 4x2 CPU mesh: finite loss and
+    grads, and the loss matches the unsharded single-device value."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from indic_cl_asr_tpu.models.conformer import ConformerEncoder
+
+    cfg = _enc_cfg(scan_layers=True, attn_impl="flash")
+    enc = ConformerEncoder(cfg)
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.standard_normal((8, 32, 64)), jnp.float32)
+    lens = jnp.full((8,), 64, jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), feats, lens, False)
+
+    def loss(params, f, l):
+        out, _ = enc.apply({**variables, "params": params}, f, l, False)
+        return jnp.sum(out**2)
+
+    base = float(jax.jit(loss)(variables["params"], feats, lens))
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    with mesh:
+        fs = jax.device_put(feats, NamedSharding(mesh, P("data")))
+        ls = jax.device_put(lens, NamedSharding(mesh, P("data")))
+        val = float(jax.jit(loss)(variables["params"], fs, ls))
+        grads = jax.jit(jax.grad(loss))(variables["params"], fs, ls)
+    np.testing.assert_allclose(val, base, rtol=1e-5)
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
