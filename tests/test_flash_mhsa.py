@@ -239,3 +239,29 @@ def test_flash_under_pjit_mesh():
         grads = jax.jit(jax.grad(loss))(variables["params"], fs, ls)
     np.testing.assert_allclose(val, base, rtol=1e-5)
     assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
+
+
+@pytest.mark.parametrize("t,heads", [(128, 1), (129, 2), (512, 2), (7, 2)])
+def test_edge_shapes(t, heads):
+    """Block-boundary T values and single-head: parity vs the oracle."""
+    rng = np.random.default_rng(t)
+    d = 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, t, heads, d)), jnp.float32)
+        for _ in range(3)
+    )
+    p = jnp.asarray(
+        rng.standard_normal((2 * t - 1, heads, d)), jnp.float32
+    )
+    u = jnp.zeros((heads, d), jnp.float32)
+    vb = jnp.zeros((heads, d), jnp.float32)
+    lens = jnp.asarray([t, max(1, t - 3)], jnp.int32)
+    out = flash_relpos_mhsa(
+        q.reshape(2, t, -1), k.reshape(2, t, -1), v.reshape(2, t, -1),
+        p.reshape(-1, heads * d), u, vb, lens, n_heads=heads,
+        interpret=True,
+    ).reshape(2, t, heads, d)
+    ref = relpos_attention_reference(q, k, v, p, u, vb, lens)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5
+    )
