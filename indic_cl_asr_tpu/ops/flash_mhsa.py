@@ -60,6 +60,13 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, pad) if n != x.shape[axis] else x
 
 
+def _roll_left(x, s):
+    """Circular left-roll along lanes via static slices + concat (Mosaic's
+    tpu.dynamic_rotate only supports 32-bit data; this form is
+    dtype-agnostic, so the barrel can run in the compute dtype)."""
+    return jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+
+
 def _skew(raw, Tp):
     """[Tp, 2Tp] -> [Tp, Tp]: out[t, j] = raw[t, (Tp-1) + j - t].
 
@@ -67,13 +74,13 @@ def _skew(raw, Tp):
     static lane rolls, each applied only to rows whose roll amount has
     that bit set. No wraparound contamination: j + (Tp-1-t) <= 2Tp-2.
     """
-    W = 2 * Tp
     r = (Tp - 1) - jax.lax.broadcasted_iota(jnp.int32, (Tp, 1), 0)
     z = raw
-    for kbit in range(W.bit_length() - 1):
+    # roll amounts are <= Tp-1, so only (Tp-1).bit_length() bits are live
+    # (the W/2 shift would never be selected — skip the dead pass)
+    for kbit in range((Tp - 1).bit_length()):
         m = ((r >> kbit) & 1) == 1
-        # left-roll by s == circular roll by W - s (pltpu.roll needs >= 0)
-        z = jnp.where(m, pltpu.roll(z, W - (1 << kbit), 1), z)
+        z = jnp.where(m, _roll_left(z, 1 << kbit), z)
     return z[:, :Tp]
 
 
@@ -87,9 +94,9 @@ def _unskew(ds, Tp):
     W = 2 * Tp
     r = (Tp - 1) - jax.lax.broadcasted_iota(jnp.int32, (Tp, 1), 0)
     x = jnp.pad(ds, ((0, 0), (0, W - Tp)))
-    for kbit in range(W.bit_length() - 1):
+    for kbit in range((Tp - 1).bit_length()):
         m = ((r >> kbit) & 1) == 1
-        x = jnp.where(m, pltpu.roll(x, 1 << kbit, 1), x)
+        x = jnp.where(m, _roll_left(x, W - (1 << kbit)), x)
     return x
 
 
@@ -122,7 +129,11 @@ def _head_probs(qu_h, qv_h, k_h, p_h, mask, *, scale, dropout_rate,
         qv_h, p_h, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Tp, 2Tp]
-    s = (ac + _skew(raw, Tp)) * scale
+    # the barrel shifter is the kernel's VPU-bound hot loop: run it in the
+    # compute dtype (bf16 at flagship halves its VMEM traffic) — the same
+    # scores-in-compute-dtype AMP contract as the XLA path; exact at f32
+    bd = _skew(raw.astype(qu_h.dtype), Tp).astype(jnp.float32)
+    s = (ac + bd) * scale
     s = jnp.where(mask, s, _NEG)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.where(mask, jnp.exp(s - m), 0.0)
@@ -225,7 +236,9 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
             preferred_element_type=jnp.float32,
         ).astype(dk_ref.dtype)
 
-        d_raw = _unskew(dS, Tp).astype(qv.dtype)  # [Tp, 2Tp]
+        # cast BEFORE the barrel-shifter unskew (same AMP contract as
+        # _joint_dot's backward: cotangents ride in the compute dtype)
+        d_raw = _unskew(dS.astype(qv.dtype), Tp)  # [Tp, 2Tp]
         dqv_ref[0, :, sl] = jax.lax.dot_general(
             d_raw, p_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
