@@ -108,10 +108,19 @@ def _chunk_logprob_slabs(
         jnp.sum(jnp.exp(logits - m), axis=-1)
     )  # [B, Tc, U+1]
     lp_blank = logits[..., blank] - lse
+    # label column via a ONE-HOT contraction instead of take_along_axis:
+    # the gather's backward is a scatter-add that the op profile measured
+    # at 9 GB/s; as a dot both directions ride the MXU. The one-hot is
+    # [B, U+1, V+1] (~0.8 MB at flagship), labels are step-constant.
+    V1 = logits.shape[-1]
+    onehot = jax.nn.one_hot(
+        labels_pad.astype(jnp.int32), V1, dtype=logits.dtype
+    )  # [B, U+1, V+1]
     lp_label = (
-        jnp.take_along_axis(
-            logits, labels_pad[:, None, :, None].astype(jnp.int32), axis=3
-        )[..., 0]
+        jnp.einsum(
+            "btuv,buv->btu", logits, onehot,
+            preferred_element_type=jnp.float32,
+        )
         - lse
     )
     return lp_blank, lp_label
@@ -196,12 +205,17 @@ def rnnt_loss_fused(
             f_chunk, g_proj, head_w, head_b, labels_pad, dropout_key=key
         )
 
-    idx = jnp.arange(n_chunks)
-    lpb_chunks, lpl_chunks = jax.lax.map(
-        lambda args: body(*args), (idx, f_chunks)
-    )
-    lp_blank = lpb_chunks.swapaxes(0, 1).reshape(B, T_pad, U1)[:, :T]
-    lp_label = lpl_chunks.swapaxes(0, 1).reshape(B, T_pad, U1)[:, :T]
+    # UNROLLED python loop over the (static, small — T/Tc ~ 4 at flagship)
+    # chunk count: lax.map's while-loop carries cost ~1.2 ms/step of pure
+    # copies in the op profile; unrolling removes them (program size grows
+    # by n_chunks joint bodies, which the scanned encoder dwarfs anyway)
+    pieces = [body(i, f_chunks[i]) for i in range(n_chunks)]
+    lp_blank = jnp.concatenate(
+        [p[0] for p in pieces], axis=1
+    )[:, :T]
+    lp_label = jnp.concatenate(
+        [p[1] for p in pieces], axis=1
+    )[:, :T]
 
     nll = rnnt_nll_from_logprobs(
         lp_blank, lp_label, frame_lens.astype(jnp.int32),
