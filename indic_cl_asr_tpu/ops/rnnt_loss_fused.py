@@ -70,6 +70,52 @@ def _joint_dot_bwd(res, g):
 _joint_dot.defvjp(_joint_dot_fwd, _joint_dot_bwd)
 
 
+@jax.custom_vjp
+def _joint_dot_split(inp, w_lab, w_blank):
+    """Blank-column split of the joint head dot. V+1=257 at flagship pads
+    to 3x128 lanes on the MXU (~67% tile ceiling, ~56% measured); slicing
+    the head into labels [B,H,V] (V=256 -> exact 2x128 tiles) plus a
+    rank-1 blank matvec (1/256 of the FLOPs) restores full tiling on the
+    largest FLOP block in the loss path. Same AMP contract as _joint_dot:
+    bf16 MXU inputs, f32 accumulation, cotangents cast back to bf16."""
+    lab = jnp.einsum(
+        "btuh,bhv->btuv", inp, w_lab, preferred_element_type=jnp.float32
+    )
+    blk = jnp.einsum(
+        "btuh,bh->btu", inp, w_blank, preferred_element_type=jnp.float32
+    )
+    return lab, blk
+
+
+def _joint_dot_split_fwd(inp, w_lab, w_blank):
+    return _joint_dot_split(inp, w_lab, w_blank), (inp, w_lab, w_blank)
+
+
+def _joint_dot_split_bwd(res, g):
+    inp, w_lab, w_blank = res
+    gl = g[0].astype(inp.dtype)
+    gb = g[1].astype(inp.dtype)
+    # the blank contribution to d_inp is a broadcast multiply that XLA
+    # fuses into the label-dot consumer — no extra [B,T,U,H] pass
+    d_inp = (
+        jnp.einsum(
+            "btuv,bhv->btuh", gl, w_lab, preferred_element_type=jnp.float32
+        )
+        + gb[..., None].astype(jnp.float32)
+        * w_blank[:, None, None, :].astype(jnp.float32)
+    ).astype(inp.dtype)
+    d_w_lab = jnp.einsum(
+        "btuh,btuv->bhv", inp, gl, preferred_element_type=jnp.float32
+    ).astype(w_lab.dtype)
+    d_w_blank = jnp.einsum(
+        "btuh,btu->bh", inp, gb, preferred_element_type=jnp.float32
+    ).astype(w_blank.dtype)
+    return d_inp, d_w_lab, d_w_blank
+
+
+_joint_dot_split.defvjp(_joint_dot_split_fwd, _joint_dot_split_bwd)
+
+
 def _chunk_logprob_slabs(
     f_chunk, g_proj, head_w, head_b, labels_pad, blank, activation,
     dropout_rate, dropout_key,
@@ -93,26 +139,53 @@ def _chunk_logprob_slabs(
     # the loss path — runs MXU-native with f32 ACCUMULATION instead of
     # being silently promoted to an all-f32 dot (half MXU rate; found by
     # auditing the lowered HLO's dot_general dtypes). log_softmax and the
-    # lattice stay f32; _joint_dot's custom VJP keeps the backward dots
-    # in the compute dtype too.
-    logits = (
-        _joint_dot(inp, head_w.astype(inp.dtype))
-        + head_b[:, None, None, :]
-    )
-    # The slabs need only logsumexp + two gathered logits; a full
-    # log_softmax would materialize another [B, Tc, U+1, V+1] f32 tensor
-    # (~100 MB/chunk at flagship, again in the remat recompute) just to
-    # read 2 of its V+1 columns.
+    # lattice stay f32; the custom VJPs keep the backward dots in the
+    # compute dtype too.
+    V1 = head_w.shape[-1]
+    w = head_w.astype(inp.dtype)
+    if blank == V1 - 1:
+        # Blank-column split (see _joint_dot_split): labels V=V1-1 tile
+        # the MXU lanes exactly at flagship (256 = 2x128) instead of
+        # padding V+1=257 to 384. The reference's per-language heads put
+        # blank last by construction (models/rnnt.py blank_local; NeMo
+        # hybrid_rnnt_ctc_bpe_models.py:102-134 num_classes // n_langs).
+        logits_lab, logit_blank = _joint_dot_split(
+            inp, w[..., :blank], w[..., blank]
+        )
+        logits_lab = logits_lab + head_b[:, None, None, :blank]
+        logit_blank = logit_blank + head_b[:, None, None, blank]
+        # The slabs need only logsumexp + two gathered logits; a full
+        # log_softmax would materialize another [B, Tc, U+1, V+1] f32
+        # tensor (~100 MB/chunk at flagship, again in the remat
+        # recompute) just to read 2 of its V+1 columns.
+        m_lab = jax.lax.stop_gradient(jnp.max(logits_lab, axis=-1))
+        m = jax.lax.stop_gradient(jnp.maximum(m_lab, logit_blank))
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits_lab - m[..., None]), axis=-1)
+            + jnp.exp(logit_blank - m)
+        )  # [B, Tc, U+1]
+        lp_blank = logit_blank - lse
+        # label column via a ONE-HOT contraction instead of
+        # take_along_axis: the gather's backward is a scatter-add the op
+        # profile measured at 9 GB/s; as a dot both directions ride the
+        # MXU. Labels are local ids < blank, so V columns suffice.
+        onehot = jax.nn.one_hot(
+            labels_pad.astype(jnp.int32), blank, dtype=logits_lab.dtype
+        )  # [B, U+1, V]
+        lp_label = (
+            jnp.einsum(
+                "btuv,buv->btu", logits_lab, onehot,
+                preferred_element_type=jnp.float32,
+            )
+            - lse
+        )
+        return lp_blank, lp_label
+    logits = _joint_dot(inp, w) + head_b[:, None, None, :]
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     lse = m[..., 0] + jnp.log(
         jnp.sum(jnp.exp(logits - m), axis=-1)
     )  # [B, Tc, U+1]
     lp_blank = logits[..., blank] - lse
-    # label column via a ONE-HOT contraction instead of take_along_axis:
-    # the gather's backward is a scatter-add that the op profile measured
-    # at 9 GB/s; as a dot both directions ride the MXU. The one-hot is
-    # [B, U+1, V+1] (~0.8 MB at flagship), labels are step-constant.
-    V1 = logits.shape[-1]
     onehot = jax.nn.one_hot(
         labels_pad.astype(jnp.int32), V1, dtype=logits.dtype
     )  # [B, U+1, V+1]

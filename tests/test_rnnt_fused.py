@@ -78,6 +78,38 @@ def test_fused_chunk_size_invariance(rng):
     np.testing.assert_allclose(vals, vals[0], rtol=1e-6)
 
 
+def test_fused_nonlast_blank_fallback(rng):
+    """blank != last index takes the unsplit head path; values and grads
+    must still match the materialized loss (the split fast path is only
+    valid for the reference's blank-last head layout)."""
+    case = setup_case(rng)
+    f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens = map(
+        jnp.asarray, case
+    )
+    blank = 0
+    labels = jnp.clip(labels + 1, 1, head_w.shape[-1] - 1)
+
+    def loss_mat(f, g, w, b):
+        return materialized(f, g, w, b, labels, t_lens, u_lens, blank)
+
+    def loss_fused(f, g, w, b):
+        return rnnt_loss_fused(
+            f, g, w, b, labels, t_lens, u_lens, blank=blank, chunk_size=4
+        )
+
+    v_mat, g_mat = jax.value_and_grad(loss_mat, argnums=(0, 2))(
+        f_proj, g_proj, head_w, head_b
+    )
+    v_fused, g_fused = jax.value_and_grad(loss_fused, argnums=(0, 2))(
+        f_proj, g_proj, head_w, head_b
+    )
+    np.testing.assert_allclose(float(v_mat), float(v_fused), rtol=1e-6)
+    for a, b in zip(g_mat, g_fused):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_fused_under_jit(rng):
     case = setup_case(rng)
     args = tuple(map(jnp.asarray, case))
