@@ -13,9 +13,12 @@ transpose ever materializes anywhere):
   * per head h (static 64-aligned lane slice):
       content scores  ac = (q + bias_u)_h · k_h^T            (MXU)
       position scores bd = rel_shift((q + bias_v)_h · p_h^T) — the
-        row-dependent rel-shift is a log2(W)-step BARREL SHIFTER (static
-        lane rolls masked per sublane row), bit-exact vs the XL
-        pad/reshape trick;
+        row-dependent rel-shift is ONE hardware strided rotate
+        (tpu.dynamic_rotate via pltpu.roll; backward conjugates the
+        inverse shift by MXU row-flips since the rotate only supports
+        amounts increasing with row), bit-exact vs the XL pad/reshape
+        trick; interpret/CPU falls back to an equivalent log2(W)-step
+        barrel shifter (static lane rolls masked per sublane row);
       masked f32 softmax (padding lens + optional (left, right) band),
         fully-masked query rows -> 0 like the XLA path;
       optional inverted dropout on the probabilities from the TPU
@@ -67,12 +70,24 @@ def _roll_left(x, s):
     return jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
 
 
+def _skew_hw(raw, Tp):
+    """[Tp, 2Tp] f32 -> [Tp, Tp]: the _skew data movement as ONE hardware
+    strided rotate (tpu.dynamic_rotate rolls row t right by
+    shift + stride*t lanes, mod the width; right-roll by Tp+1+t on width
+    2Tp == the left-roll by Tp-1-t that _skew's barrel performs in
+    (Tp-1).bit_length() masked roll+select passes). 32-bit dtypes only —
+    callers roll the f32 dot output and apply the compute-dtype cast
+    AFTER (data movement commutes with the cast bit-exactly)."""
+    return pltpu.roll(raw, Tp + 1, 1, stride=1, stride_axis=0)[:, :Tp]
+
+
 def _skew(raw, Tp):
     """[Tp, 2Tp] -> [Tp, Tp]: out[t, j] = raw[t, (Tp-1) + j - t].
 
     Row t is left-rolled by (Tp-1-t) with a barrel shifter: log2(2Tp)
     static lane rolls, each applied only to rows whose roll amount has
     that bit set. No wraparound contamination: j + (Tp-1-t) <= 2Tp-2.
+    Interpret-mode/CPU fallback for _skew_hw (bit-identical results).
     """
     r = (Tp - 1) - jax.lax.broadcasted_iota(jnp.int32, (Tp, 1), 0)
     z = raw
@@ -113,8 +128,17 @@ def _score_mask(Tp, n_valid, left, right):
     return mask
 
 
+def _flip_rows_mat(Tp, dtype=jnp.float32):
+    """Anti-diagonal permutation J (J @ x flips x's rows). Mosaic has no
+    `rev` lowering; a 0/1 matmul flips EXACTLY (each output row receives
+    a single 1.0*x product) and rides the MXU."""
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    return (r_i + c_i == Tp - 1).astype(dtype)
+
+
 def _head_probs(qu_h, qv_h, k_h, p_h, mask, *, scale, dropout_rate,
-                seed, b_id, h_id, mask_mode, keep_ref):
+                seed, b_id, h_id, mask_mode, keep_ref, hw_roll=False):
     """One head's [Tp, Tp] probability row -> (P f32 pre-dropout, keep).
 
     mask_mode: "none" (no dropout), "prng" (TPU hardware PRNG seeded per
@@ -129,10 +153,17 @@ def _head_probs(qu_h, qv_h, k_h, p_h, mask, *, scale, dropout_rate,
         qv_h, p_h, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Tp, 2Tp]
-    # the barrel shifter is the kernel's VPU-bound hot loop: run it in the
-    # compute dtype (bf16 at flagship halves its VMEM traffic) — the same
-    # scores-in-compute-dtype AMP contract as the XLA path; exact at f32
-    bd = _skew(raw.astype(qu_h.dtype), Tp).astype(jnp.float32)
+    if hw_roll:
+        # one hardware strided rotate on the f32 dot output, then the
+        # same compute-dtype round-trip the barrel path applies before
+        # its shift — bit-identical scores, ~40% less kernel VPU time
+        bd = _skew_hw(raw, Tp).astype(qu_h.dtype).astype(jnp.float32)
+    else:
+        # the barrel shifter is the kernel's VPU-bound hot loop: run it
+        # in the compute dtype (bf16 at flagship halves its VMEM
+        # traffic) — the same scores-in-compute-dtype AMP contract as
+        # the XLA path; exact at f32
+        bd = _skew(raw.astype(qu_h.dtype), Tp).astype(jnp.float32)
     s = (ac + bd) * scale
     s = jnp.where(mask, s, _NEG)
     m = jnp.max(s, axis=1, keepdims=True)
@@ -158,7 +189,7 @@ def _apply_drop(p, keep, rate):
 
 def _fwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
                 *rest, n_heads, scale, left, right, dropout_rate,
-                mask_mode):
+                mask_mode, hw_roll):
     if mask_mode == "input":
         keep_ref, o_ref = rest
     else:
@@ -174,7 +205,7 @@ def _fwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
             p_ref[:, sl], mask,
             scale=scale, dropout_rate=dropout_rate,
             seed=seed_ref[0], b_id=b, h_id=h, mask_mode=mask_mode,
-            keep_ref=keep_ref,
+            keep_ref=keep_ref, hw_roll=hw_roll,
         )
         pd = _apply_drop(p, keep, dropout_rate).astype(v_ref.dtype)
         o_ref[0, :, sl] = jax.lax.dot_general(
@@ -186,7 +217,7 @@ def _fwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
 
 def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
                 *rest, n_heads, scale, left, right, dropout_rate,
-                mask_mode):
+                mask_mode, hw_roll):
     if mask_mode == "input":
         keep_ref, do_ref, dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref = rest
     else:
@@ -196,6 +227,8 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
     Tp = qu_ref.shape[1]
     D = qu_ref.shape[2] // n_heads
     mask = _score_mask(Tp, lens_ref[b], left, right)
+    if hw_roll:
+        J = _flip_rows_mat(Tp)  # shared across the head loop
     for h in range(n_heads):
         sl = slice(h * D, (h + 1) * D)
         qu = qu_ref[0, :, sl]
@@ -206,7 +239,7 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
             qu, qv, k, p_h, mask,
             scale=scale, dropout_rate=dropout_rate,
             seed=seed_ref[0], b_id=b, h_id=h, mask_mode=mask_mode,
-            keep_ref=keep_ref,
+            keep_ref=keep_ref, hw_roll=hw_roll,
         )
         dO = do_ref[0, :, sl].astype(jnp.float32)
         v = v_ref[0, :, sl]
@@ -236,18 +269,53 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
             preferred_element_type=jnp.float32,
         ).astype(dk_ref.dtype)
 
-        # cast BEFORE the barrel-shifter unskew (same AMP contract as
-        # _joint_dot's backward: cotangents ride in the compute dtype)
-        d_raw = _unskew(dS.astype(qv.dtype), Tp)  # [Tp, 2Tp]
-        dqv_ref[0, :, sl] = jax.lax.dot_general(
-            d_raw, p_h, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dqv_ref.dtype)
+        if hw_roll:
+            # d_raw = unskew(dS): right-roll row t by Tp-1-t. The
+            # hardware rotate's per-row amount must INCREASE with t, so
+            # conjugate by a row flip — amounts become t' = Tp-1-t.
+            # Mosaic has no `rev`: flip via the J matmul (exact 0/1
+            # products), and fold the post-flip into the two SMALL
+            # per-head operands instead of the [Tp, 2Tp] slab:
+            #   d_raw = J @ z,  z = roll(pad(J @ dS))
+            #   d_raw · p_h = J @ (z · p_h)          (flip [Tp, D])
+            #   d_rawT · qv = zT · (J @ qv)          (flip [Tp, D])
+            # Same compute-dtype cast contract as the barrel path (the
+            # cast commutes with the data movement bit-exactly).
+            dS_f = jax.lax.dot_general(
+                J, dS, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z = pltpu.roll(
+                jnp.pad(dS_f, ((0, 0), (0, Tp))), 0, 1,
+                stride=1, stride_axis=0).astype(qv.dtype)
+            Jc = J.astype(qv.dtype)
+            zp = jax.lax.dot_general(
+                z, p_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqv_ref[0, :, sl] = jax.lax.dot_general(
+                Jc, zp.astype(qv.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqv_ref.dtype)
+            qv_f = jax.lax.dot_general(
+                Jc, qv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(qv.dtype)
+            dp_tile = jax.lax.dot_general(
+                z, qv_f, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2Tp, D]
+        else:
+            # cast BEFORE the barrel-shifter unskew (same AMP contract
+            # as _joint_dot's backward: cotangents in the compute dtype)
+            d_raw = _unskew(dS.astype(qv.dtype), Tp)  # [Tp, 2Tp]
+            dqv_ref[0, :, sl] = jax.lax.dot_general(
+                d_raw, p_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqv_ref.dtype)
 
-        dp_tile = jax.lax.dot_general(
-            d_raw, qv, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [2Tp, D]
+            dp_tile = jax.lax.dot_general(
+                d_raw, qv, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2Tp, D]
 
         # dp is revisited across the (sequential) batch grid dimension
         @pl.when(b == 0)
@@ -294,6 +362,7 @@ def _flash_fwd(qu, qv, k, v, p_pad, lens, seed, keep, n_heads, scale,
         functools.partial(
             _fwd_kernel, n_heads=n_heads, scale=scale, left=left,
             right=right, dropout_rate=dropout_rate, mask_mode=mask_mode,
+            hw_roll=not interpret,  # tpu.dynamic_rotate: no interpret rule
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -326,6 +395,7 @@ def _flash_bwd(n_heads, scale, left, right, dropout_rate, mask_mode,
         functools.partial(
             _bwd_kernel, n_heads=n_heads, scale=scale, left=left,
             right=right, dropout_rate=dropout_rate, mask_mode=mask_mode,
+            hw_roll=not interpret,  # tpu.dynamic_rotate: no interpret rule
         ),
         grid=(B,),
         in_specs=in_specs,
