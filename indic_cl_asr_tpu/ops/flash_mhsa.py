@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_T = 512  # above this the [Tp, Tp] rows no longer fit VMEM comfortably
+
+# Escape hatch (and regression canary — cf. the Tc=64 libtpu story in
+# docs/ROADMAP.md): FLASH_HW_ROLL=0 reverts the rel-shift to the barrel
+# shifter on real hardware. scripts/validate_flash_mhsa_tpu.py A/Bs the
+# two paths bit-for-bit each run.
+_HW_ROLL = os.environ.get("FLASH_HW_ROLL", "1") == "1"
 
 _NEG = -1e30
 
@@ -279,15 +286,22 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
             #   d_raw = J @ z,  z = roll(pad(J @ dS))
             #   d_raw · p_h = J @ (z · p_h)          (flip [Tp, D])
             #   d_rawT · qv = zT · (J @ qv)          (flip [Tp, D])
-            # Same compute-dtype cast contract as the barrel path (the
-            # cast commutes with the data movement bit-exactly).
+            # Same compute-dtype cast contract as the barrel path: cast
+            # dS BEFORE the movement. The flips run at HIGHEST precision
+            # — at default precision the MXU silently truncates f32
+            # operands to bf16, which would re-round the cotangent in
+            # f32-compute configs (permutation products are exact at
+            # HIGHEST for both dtypes, so hw == barrel bitwise for
+            # dqu/dk/dv/dqv).
+            Jc = J.astype(qv.dtype)
             dS_f = jax.lax.dot_general(
-                J, dS, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                Jc, dS.astype(qv.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             z = pltpu.roll(
                 jnp.pad(dS_f, ((0, 0), (0, Tp))), 0, 1,
                 stride=1, stride_axis=0).astype(qv.dtype)
-            Jc = J.astype(qv.dtype)
             zp = jax.lax.dot_general(
                 z, p_h, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -295,10 +309,12 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
                 Jc, zp.astype(qv.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(dqv_ref.dtype)
             qv_f = jax.lax.dot_general(
                 Jc, qv, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(qv.dtype)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(qv.dtype)
             dp_tile = jax.lax.dot_general(
                 z, qv_f, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -362,7 +378,7 @@ def _flash_fwd(qu, qv, k, v, p_pad, lens, seed, keep, n_heads, scale,
         functools.partial(
             _fwd_kernel, n_heads=n_heads, scale=scale, left=left,
             right=right, dropout_rate=dropout_rate, mask_mode=mask_mode,
-            hw_roll=not interpret,  # tpu.dynamic_rotate: no interpret rule
+            hw_roll=not interpret and _HW_ROLL,  # no interpret rule
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -395,7 +411,7 @@ def _flash_bwd(n_heads, scale, left, right, dropout_rate, mask_mode,
         functools.partial(
             _bwd_kernel, n_heads=n_heads, scale=scale, left=left,
             right=right, dropout_rate=dropout_rate, mask_mode=mask_mode,
-            hw_roll=not interpret,  # tpu.dynamic_rotate: no interpret rule
+            hw_roll=not interpret and _HW_ROLL,  # no interpret rule
         ),
         grid=(B,),
         in_specs=in_specs,

@@ -115,6 +115,32 @@ def main() -> int:
     assert abs(lhs - rhs) / (abs(rhs) + 1e-9) < 1e-3, (
         "backward regenerated a DIFFERENT dropout mask than forward"
     )
+
+    # 4. hardware strided-rotate rel-shift vs the barrel shifter, REAL
+    # kernel both times (FLASH_HW_ROLL escape hatch): the rotate is pure
+    # data movement and the flip-conjugated backward preserves each output
+    # element's per-row contraction order, so values AND dqu/dk/dv must be
+    # bit-identical; dp/dqv accumulate over a permuted row order (tiny
+    # f32 reassociation tolerance).
+    import indic_cl_asr_tpu.ops.flash_mhsa as fm
+
+    def grads_with(hw):
+        fm._HW_ROLL = hw
+        return jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4, 5)))(
+            qf, kf, vf, pf, u, vb
+        )
+
+    try:
+        g_hw = grads_with(True)
+        g_ba = grads_with(False)
+    finally:
+        fm._HW_ROLL = True
+    for name, a, b in zip("qkvpuv", g_hw, g_ba):
+        e = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(b))) + 1e-9
+        print(f"hw-vs-barrel d{name}: max|diff| {e:.2e}")
+        assert e / s < 1e-6, f"hw rotate != barrel for d{name}"
+
     print("flash_mhsa TPU validation OK")
     return 0
 
