@@ -287,18 +287,24 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
             #   d_raw · p_h = J @ (z · p_h)          (flip [Tp, D])
             #   d_rawT · qv = zT · (J @ qv)          (flip [Tp, D])
             # Same compute-dtype cast contract as the barrel path: cast
-            # dS BEFORE the movement. The flips run at HIGHEST precision
-            # — at default precision the MXU silently truncates f32
-            # operands to bf16, which would re-round the cotangent in
-            # f32-compute configs (permutation products are exact at
-            # HIGHEST for both dtypes, so hw == barrel bitwise for
-            # dqu/dk/dv/dqv).
+            # dS BEFORE the movement. For f32 compute the flips must run
+            # at HIGHEST precision — at default precision the MXU
+            # silently truncates f32 operands to bf16, re-rounding the
+            # cotangent (measured 6.4e-3 on dq). For bf16 compute the
+            # default is already exact (the MXU consumes bf16 natively)
+            # and Mosaic REJECTS an fp32 contract on bf16 operands
+            # ("Bad lhs type"), so gate on the dtype.
+            flip_prec = (
+                jax.lax.Precision.HIGHEST
+                if qv.dtype == jnp.float32 else
+                jax.lax.Precision.DEFAULT
+            )
             Jc = J.astype(qv.dtype)
             dS_f = jax.lax.dot_general(
                 Jc, dS.astype(qv.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=flip_prec)
             z = pltpu.roll(
                 jnp.pad(dS_f, ((0, 0), (0, Tp))), 0, 1,
                 stride=1, stride_axis=0).astype(qv.dtype)
@@ -309,12 +315,12 @@ def _bwd_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, seed_ref,
                 Jc, zp.astype(qv.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=flip_prec,
             ).astype(dqv_ref.dtype)
             qv_f = jax.lax.dot_general(
                 Jc, qv, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).astype(qv.dtype)
+                precision=flip_prec).astype(qv.dtype)
             dp_tile = jax.lax.dot_general(
                 z, qv_f, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -141,6 +141,35 @@ def main() -> int:
         print(f"hw-vs-barrel d{name}: max|diff| {e:.2e}")
         assert e / s < 1e-6, f"hw rotate != barrel for d{name}"
 
+    # 5. the same A/B at bf16 — the FLAGSHIP program class. (Round-3d
+    # regression: HIGHEST-precision flips compiled fine for the f32
+    # grads above but Mosaic rejects an fp32 contract on bf16 operands,
+    # so a validator without this section passed while the train step
+    # failed to compile.)
+    def loss_bf16(q, k, v):
+        o = flash_relpos_mhsa(
+            flat(q), flat(k), flat(v), p4.reshape(-1, H * D), u, vb,
+            lens[:Bs], n_heads=H, interpret=False,
+        )
+        return jnp.sum(o.astype(jnp.float32) * flat(cot))
+
+    def grads_bf16(hw):
+        fm._HW_ROLL = hw
+        return jax.jit(jax.grad(loss_bf16, argnums=(0, 1, 2)))(
+            q4[:Bs], k4[:Bs], v4[:Bs]
+        )
+
+    try:
+        gb_hw = grads_bf16(True)
+        gb_ba = grads_bf16(False)
+    finally:
+        fm._HW_ROLL = True
+    for name, a, b in zip("qkv", gb_hw, gb_ba):
+        e = float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32))))
+        print(f"hw-vs-barrel bf16 d{name}: max|diff| {e:.2e}")
+        assert e == 0.0, f"bf16 hw rotate != barrel for d{name}"
+
     print("flash_mhsa TPU validation OK")
     return 0
 
