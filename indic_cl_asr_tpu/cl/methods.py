@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..models.hybrid import HybridModelConfig, HybridRNNTCTC
 from ..train.driver import CLMethod
-from ..train.state import TrainState
+from ..train.state import TrainState, apply_updates
 from ..train.step import (
     StepConfig,
     hybrid_forward_loss,
@@ -228,7 +228,6 @@ class LwFMethod(CLMethod):
         teacher_p = self.state.teacher_params
         teacher_bs = self.state.teacher_batch_stats
         tx = self.tx
-        import optax
 
         def lwf_step(state: TrainState, batch, rng):
             k_task, k_teacher = jax.random.split(rng)
@@ -287,7 +286,7 @@ class LwFMethod(CLMethod):
             updates, new_opt = tx.update(
                 grads, state.opt_state, state.params
             )
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = apply_updates(state.params, updates)
             return (
                 TrainState(
                     step=state.step + 1, params=new_params,

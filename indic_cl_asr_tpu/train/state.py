@@ -50,8 +50,18 @@ def row_sliced_stacked(
     fusions are HBM-bound in the op profile). Slicing matches the
     reference exactly: its AdamW only ever sees requires_grad params
     (cl_baseline.py:137, utils.py:246-263), so frozen rows have no
-    optimizer state there either. The returned updates carry an explicit
-    zero prefix (frozen rows truly never change, including weight decay).
+    optimizer state there either.
+
+    The returned updates stay SLICED ([L - n_rows, ...] on stacked
+    leaves): apply them with this module's :func:`apply_updates`, which
+    adds them in place with ``p.at[n_rows:].add(u)``. The earlier design
+    concatenated an explicit zero prefix back to [L, ...]; XLA lowered
+    ``p + pad(u)`` as a full pass over every stacked param leaf
+    (~1.5 GB/step of pad_add traffic in the op profile — reading and
+    rewriting 12 frozen rows of every leaf to add zero). The in-place
+    row add touches only the trainable rows; frozen rows are never
+    read or written by the update, so they still truly never change
+    (including weight decay).
     """
 
     def _slice(tree):
@@ -72,19 +82,36 @@ def row_sliced_stacked(
             _slice(updates), state,
             _slice(params) if params is not None else None,
         )
-        full = jax.tree_util.tree_map_with_path(
-            lambda p, u_old, u_new: (
-                jnp.concatenate(
-                    [jnp.zeros_like(u_old[:n_rows]), u_new], axis=0
-                )
-                if hasattr(u_old, "ndim") and _stacked_path(p, path_substr)
-                else u_new
-            ),
-            updates, u_s,
-        )
-        return full, new_state
+        return u_s, new_state
 
     return optax.GradientTransformation(init, update)
+
+
+def apply_updates(params: Any, updates: Any) -> Any:
+    """`optax.apply_updates` that understands row-sliced stacked updates.
+
+    Leaves whose update is shorter than the param along axis 0 (the
+    [L - n_rows, ...] leaves produced by :func:`row_sliced_stacked`) are
+    applied with an in-place row add — only the trainable suffix rows are
+    read or written. Everything else matches optax semantics (cast to the
+    param dtype; ``None`` updates leave the param untouched)."""
+
+    def leaf(p, u):
+        if u is None:
+            return p
+        p = jnp.asarray(p)
+        u = jnp.asarray(u)
+        if (
+            u.ndim == p.ndim
+            and u.ndim >= 1
+            and u.shape[0] < p.shape[0]
+            and u.shape[1:] == p.shape[1:]
+        ):
+            n = p.shape[0] - u.shape[0]
+            return p.at[n:].add(u.astype(p.dtype))
+        return (p + u).astype(p.dtype)
+
+    return jax.tree.map(leaf, params, updates, is_leaf=lambda x: x is None)
 
 
 def zero_stacked_prefix(

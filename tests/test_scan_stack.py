@@ -20,7 +20,11 @@ from indic_cl_asr_tpu.models.conformer import (
     ConformerEncoder,
     stack_encoder_layers,
 )
-from indic_cl_asr_tpu.train.state import make_optimizer, zero_stacked_prefix
+from indic_cl_asr_tpu.train.state import (
+    apply_updates,
+    make_optimizer,
+    zero_stacked_prefix,
+)
 
 TINY = ConformerConfig(
     feat_in=32, n_layers=3, d_model=64, n_heads=4, ff_expansion_factor=2,
@@ -168,7 +172,11 @@ def test_zero_stacked_prefix_freezes_rows_against_weight_decay():
     )
     opt_state = tx.init(params)
     updates, _ = tx.update(grads, opt_state, params)
-    new = optax.apply_updates(params, updates)
+    # updates stay row-sliced on stacked leaves; the frozen prefix rows
+    # are never touched by apply_updates (train.state, not optax)
+    u_stack = updates["encoder"]["stack"]["layers"]["w"]
+    assert u_stack.shape == (L - 2, d)
+    new = apply_updates(params, updates)
     w = np.asarray(new["encoder"]["stack"]["layers"]["w"])
     # frozen rows: zero grads AND no weight-decay drift
     np.testing.assert_array_equal(w[:2], 1.0)
