@@ -123,7 +123,14 @@ def _setup(rnnt_chunk: int):
     mask = conformer_freeze_mask(variables["params"], 12)
     tx = make_optimizer(lr=1e-4, trainable_mask=mask, stacked_freeze_till=12)
     state = create_train_state(variables, tx)
-    step_cfg = StepConfig(rnnt_chunk_size=rnnt_chunk)
+    # uniform_lang_head: the bench batch is single-language (all
+    # lang_ids 0) exactly like every CL-driver task batch; the drivers
+    # run with the same flag (scripts/_common.py), so this measures the
+    # production step. BENCH_UNIFORM_HEAD=0 times the per-sample path.
+    step_cfg = StepConfig(
+        rnnt_chunk_size=rnnt_chunk,
+        uniform_lang_head=os.environ.get("BENCH_UNIFORM_HEAD", "1") == "1",
+    )
 
     B, SECS, U = 16, 8, 48
     S = 16000 * SECS

@@ -116,11 +116,100 @@ def _joint_dot_split_bwd(res, g):
 _joint_dot_split.defvjp(_joint_dot_split_fwd, _joint_dot_split_bwd)
 
 
+@jax.custom_vjp
+def _joint_dot_shared(inp, w):
+    """Uniform-language variant of _joint_dot: ONE shared [H, V+1] head.
+
+    The per-sample form lowers to B independent [Tc*U, H] x [H, V] matmuls
+    (~50-60% MXU efficiency in the op profile); sharing the weight turns
+    each chunk into a single large matmul and collapses d_w to one
+    reduction. Same AMP contract (bf16 MXU inputs, f32 accumulation,
+    cotangents cast to the compute dtype)."""
+    return jnp.einsum(
+        "btuh,hv->btuv", inp, w, preferred_element_type=jnp.float32
+    )
+
+
+def _joint_dot_shared_fwd(inp, w):
+    return _joint_dot_shared(inp, w), (inp, w)
+
+
+def _joint_dot_shared_bwd(res, g):
+    inp, w = res
+    gc = g.astype(inp.dtype)
+    d_inp = jnp.einsum(
+        "btuv,hv->btuh", gc, w, preferred_element_type=jnp.float32
+    ).astype(inp.dtype)
+    d_w = jnp.einsum(
+        "btuh,btuv->hv", inp, gc, preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    return d_inp, d_w
+
+
+_joint_dot_shared.defvjp(_joint_dot_shared_fwd, _joint_dot_shared_bwd)
+
+
+@jax.custom_vjp
+def _joint_dot_split_shared(inp, w_lab, w_blank):
+    """Uniform-language variant of _joint_dot_split (shared [H, V] label
+    block + [H] blank vector). See _joint_dot_shared for why."""
+    lab = jnp.einsum(
+        "btuh,hv->btuv", inp, w_lab, preferred_element_type=jnp.float32
+    )
+    blk = jnp.einsum(
+        "btuh,h->btu", inp, w_blank, preferred_element_type=jnp.float32
+    )
+    return lab, blk
+
+
+def _joint_dot_split_shared_fwd(inp, w_lab, w_blank):
+    return (
+        _joint_dot_split_shared(inp, w_lab, w_blank),
+        (inp, w_lab, w_blank),
+    )
+
+
+def _joint_dot_split_shared_bwd(res, g):
+    inp, w_lab, w_blank = res
+    gl = g[0].astype(inp.dtype)
+    gb = g[1].astype(inp.dtype)
+    d_inp = (
+        jnp.einsum(
+            "btuv,hv->btuh", gl, w_lab, preferred_element_type=jnp.float32
+        )
+        + gb[..., None].astype(jnp.float32)
+        * w_blank[None, None, None, :].astype(jnp.float32)
+    ).astype(inp.dtype)
+    d_w_lab = jnp.einsum(
+        "btuh,btuv->hv", inp, gl, preferred_element_type=jnp.float32
+    ).astype(w_lab.dtype)
+    d_w_blank = jnp.einsum(
+        "btuh,btu->h", inp, gb, preferred_element_type=jnp.float32
+    ).astype(w_blank.dtype)
+    return d_inp, d_w_lab, d_w_blank
+
+
+_joint_dot_split_shared.defvjp(
+    _joint_dot_split_shared_fwd, _joint_dot_split_shared_bwd
+)
+
+
 def _chunk_logprob_slabs(
     f_chunk, g_proj, head_w, head_b, labels_pad, blank, activation,
-    dropout_rate, dropout_key,
+    dropout_rate, dropout_key, uniform_head=False,
 ):
-    """[B, Tc, H] -> (lp_blank [B, Tc, U+1], lp_label [B, Tc, U+1])."""
+    """[B, Tc, H] -> (lp_blank [B, Tc, U+1], lp_label [B, Tc, U+1]).
+
+    ``uniform_head``: every batch row uses the SAME language head — the
+    reference's CL drivers train exactly one language per task
+    (cl_baseline.py per-task manifests), so this is the training-path
+    common case. head_w[0]/head_b[0] are used for the whole batch, and
+    the joint dots become single shared-weight matmuls instead of B
+    per-sample ones (the per-sample batched form measured ~50-60% MXU
+    efficiency in the op profile). Gradients stay exact: d(head)[0] flows
+    back through the caller's jnp.take gather into the one language row,
+    which under a uniform batch equals the sum the per-sample path
+    scatters."""
     inp = _activate(
         f_chunk[:, :, None, :] + g_proj[:, None, :, :], activation
     )  # [B, Tc, U+1, H]
@@ -143,6 +232,33 @@ def _chunk_logprob_slabs(
     # compute dtype too.
     V1 = head_w.shape[-1]
     w = head_w.astype(inp.dtype)
+    if uniform_head:
+        w = w[0]  # [H, V+1]; grad scatters into row 0 -> the task's lang
+        head_b = head_b[0]  # [V+1]
+    if blank == V1 - 1 and uniform_head:
+        logits_lab, logit_blank = _joint_dot_split_shared(
+            inp, w[..., :blank], w[..., blank]
+        )
+        logits_lab = logits_lab + head_b[:blank]
+        logit_blank = logit_blank + head_b[blank]
+        m_lab = jax.lax.stop_gradient(jnp.max(logits_lab, axis=-1))
+        m = jax.lax.stop_gradient(jnp.maximum(m_lab, logit_blank))
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits_lab - m[..., None]), axis=-1)
+            + jnp.exp(logit_blank - m)
+        )
+        lp_blank = logit_blank - lse
+        onehot = jax.nn.one_hot(
+            labels_pad.astype(jnp.int32), blank, dtype=logits_lab.dtype
+        )
+        lp_label = (
+            jnp.einsum(
+                "btuv,buv->btu", logits_lab, onehot,
+                preferred_element_type=jnp.float32,
+            )
+            - lse
+        )
+        return lp_blank, lp_label
     if blank == V1 - 1:
         # Blank-column split (see _joint_dot_split): labels V=V1-1 tile
         # the MXU lanes exactly at flagship (256 = 2x128) instead of
@@ -180,7 +296,10 @@ def _chunk_logprob_slabs(
             - lse
         )
         return lp_blank, lp_label
-    logits = _joint_dot(inp, w) + head_b[:, None, None, :]
+    if uniform_head:
+        logits = _joint_dot_shared(inp, w) + head_b
+    else:
+        logits = _joint_dot(inp, w) + head_b[:, None, None, :]
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     lse = m[..., 0] + jnp.log(
         jnp.sum(jnp.exp(logits - m), axis=-1)
@@ -216,6 +335,7 @@ def rnnt_loss_fused(
     dropout_rng: jax.Array | None = None,
     impl: str = "xla",  # "xla" | "pallas" (fused joint kernel, relu only)
     row_mask: jnp.ndarray | None = None,  # bool [B]: real (non-repeat) rows
+    uniform_head: bool = False,  # all rows share head_w[0]/head_b[0]
 ):
     B, T, H = f_proj.shape
     U1 = g_proj.shape[1]
@@ -262,6 +382,7 @@ def rnnt_loss_fused(
             blank=blank,
             activation=activation,
             dropout_rate=dropout_rate,
+            uniform_head=uniform_head,
         ),
         policy=jax.checkpoint_policies.save_only_these_names(
             "joint_dropout_mask"

@@ -177,6 +177,23 @@ def run_sequence(
     else:
         to_device = batch_to_device_dict
 
+    if step_cfg.uniform_lang_head:
+        # the jitted loss applies lang_ids[0]'s head to the whole batch
+        # (StepConfig.uniform_lang_head) — cheap host check that every
+        # batch really is single-language, which per-task manifests
+        # guarantee by construction
+        _inner_to_device = to_device
+
+        def to_device(b):  # noqa: F811
+            ids = b.lang_ids
+            if (ids != ids[0]).any():
+                raise ValueError(
+                    "uniform_lang_head=True but the batch mixes languages "
+                    f"({sorted(set(ids.tolist()))}); set "
+                    "step.uniform_lang_head=False for mixed batches"
+                )
+            return _inner_to_device(b)
+
     for lang_idx in range(start_idx, len(languages)):
         lang = languages[lang_idx]
         data = task_data[lang]

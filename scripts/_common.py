@@ -268,6 +268,10 @@ def build_all(cfg, ns):
         ctc_loss_weight=model_cfg.ctc_loss_weight,
         rnnt_chunk_size=cfg.get("rnnt_chunk_size", 32),
         use_spec_augment=cfg.get("use_spec_augment", True),
+        # each CL task trains exactly one language (per-task manifests,
+        # reference cl_baseline.py) -> shared-head joint fast path;
+        # train/driver.py host-checks every batch is single-language
+        uniform_lang_head=cfg.get("uniform_lang_head", True),
     )
 
     def base_step_builder(penalty_fn):

@@ -308,3 +308,52 @@ def test_flagship_dims_sharding_with_odd_vocab(rng):
         np.asarray(stack2[key])[0],
         np.asarray(named_leaves(state.params)[key])[0],
     )
+
+
+def test_uniform_lang_head_step_matches_per_sample(rng):
+    """On a single-language batch the uniform_lang_head fast path must
+    produce the same loss and the same GRADIENTS as the per-sample head
+    path (the CL drivers enable it; scripts/_common.py). Gradients, not
+    post-Adam params: Adam's sqrt(nu) normalization turns low-bit einsum
+    rounding differences into O(lr) update differences at step 1."""
+    import dataclasses
+
+    from indic_cl_asr_tpu.train.step import hybrid_forward_loss
+
+    cfg = tiny_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    base_cfg = StepConfig(
+        frontend=FrontendConfig(n_mels=cfg.encoder.feat_in),
+        use_spec_augment=False,
+        rnnt_chunk_size=8,
+    )
+    batch = make_batch(cfg, rng)
+    batch["lang_ids"] = jnp.full_like(batch["lang_ids"], 2)
+
+    outs = {}
+    for uniform in (False, True):
+        step_cfg = dataclasses.replace(base_cfg, uniform_lang_head=uniform)
+
+        def loss_fn(params):
+            loss, _ = hybrid_forward_loss(
+                model, cfg, step_cfg, params, variables["batch_stats"],
+                batch["audio"], batch["audio_len"], batch["tokens"],
+                batch["token_len"], batch["lang_ids"],
+                jax.random.PRNGKey(5), train=True,
+            )
+            return loss
+
+        outs[uniform] = jax.jit(jax.value_and_grad(loss_fn))(
+            variables["params"]
+        )
+
+    np.testing.assert_allclose(
+        float(outs[False][0]), float(outs[True][0]), rtol=1e-5
+    )
+    flat_ps, _ = jax.tree_util.tree_flatten(outs[False][1])
+    flat_un, _ = jax.tree_util.tree_flatten(outs[True][1])
+    assert len(flat_ps) == len(flat_un)
+    for a, b in zip(flat_ps, flat_un):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
