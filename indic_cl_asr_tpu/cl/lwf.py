@@ -101,6 +101,7 @@ def joint_kd_chunked(
     head_w_t, head_b_t, *,
     activation: str = "relu", chunk_size: int = 64,
     faithful_raw_logits: bool = False, row_mask=None,
+    uniform_head: bool = False,
 ):
     """Chunked KL(teacher joint || student joint), 'batchmean' over B
     (cl_baseline_lwf.py:248-259).
@@ -126,6 +127,18 @@ def joint_kd_chunked(
         # cast the f32 head gather to the compute dtype so the KD joint
         # matmul runs bf16-input/f32-accumulate on the MXU instead of a
         # silently promoted all-f32 dot (same fix as rnnt_loss_fused)
+        if uniform_head:
+            # single-language batch: one shared head -> a single large
+            # matmul instead of a B-batched one (see
+            # rnnt_loss_fused._joint_dot_shared; CL task batches are
+            # uniform by construction, host-checked in train/driver.py)
+            return (
+                jnp.einsum(
+                    "btuh,hv->btuv", inp, w[0].astype(inp.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + b[0]
+            )
         return (
             jnp.einsum(
                 "btuh,bhv->btuv", inp, w.astype(inp.dtype),

@@ -69,7 +69,7 @@ def make_penalty_fn(cfg: MASConfig, state: MASState):
 
 def joint_energy_chunked(
     f_proj, g_proj, head_w, head_b, *, activation: str = "relu",
-    chunk_size: int = 64, row_mask=None,
+    chunk_size: int = 64, row_mask=None, uniform_head: bool = False,
 ):
     """mean over (B, T, U) of sum_v joint_logits^2, chunked over T with
     remat — the reference's rnn_logits surrogate (cl_baseline_mas.py:
@@ -96,13 +96,24 @@ def joint_energy_chunked(
         )
         # bf16-input/f32-accumulate on the MXU (same fix as
         # rnnt_loss_fused: the f32 head gather silently promoted the dot)
-        logits = (
-            jnp.einsum(
-                "btuh,bhv->btuv", inp, head_w.astype(inp.dtype),
-                preferred_element_type=jnp.float32,
+        if uniform_head:
+            # single-language batch: shared head, one large matmul (see
+            # rnnt_loss_fused._joint_dot_shared)
+            logits = (
+                jnp.einsum(
+                    "btuh,hv->btuv", inp, head_w[0].astype(inp.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + head_b[0]
             )
-            + head_b[:, None, None, :]
-        )
+        else:
+            logits = (
+                jnp.einsum(
+                    "btuh,bhv->btuv", inp, head_w.astype(inp.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + head_b[:, None, None, :]
+            )
         sq = jnp.sum(logits**2, axis=(2, 3))  # [B, Tc]
         t_abs = ci * chunk_size + jnp.arange(chunk_size)
         sq = jnp.where((t_abs < T)[None, :], sq, 0.0)
@@ -120,11 +131,13 @@ def joint_energy_chunked(
 def mas_surrogate(
     cfg: MASConfig, f_proj, g_proj, head_w, head_b, ctc_logits,
     *, activation: str = "relu", chunk_size: int = 64, row_mask=None,
+    uniform_head: bool = False,
 ):
     """(1-ctx) * joint energy + ctx * ctc energy (cl_baseline_mas.py:258-264)."""
     rnnt_energy = joint_energy_chunked(
         f_proj, g_proj, head_w, head_b,
         activation=activation, chunk_size=chunk_size, row_mask=row_mask,
+        uniform_head=uniform_head,
     )
     ctc_sq = jnp.sum(ctc_logits.astype(jnp.float32) ** 2, -1)  # [B, T]
     if row_mask is not None:

@@ -159,6 +159,7 @@ class MASMethod(CLMethod):
                     activation=jcfg.activation,
                     chunk_size=step_cfg.rnnt_chunk_size,
                     row_mask=row_mask,
+                    uniform_head=step_cfg.uniform_lang_head,
                 )
 
             return jax.grad(surrogate)(params)
@@ -269,6 +270,7 @@ class LwFMethod(CLMethod):
                     chunk_size=step_cfg.rnnt_chunk_size,
                     faithful_raw_logits=lcfg.faithful_raw_logits,
                     row_mask=row_mask,
+                    uniform_head=step_cfg.uniform_lang_head,
                 )
                 kd = lcfg.knowledge_distillation
                 ctx = lcfg.knowledge_distillation_ctx

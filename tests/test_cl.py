@@ -333,3 +333,65 @@ def test_method_state_checkpoint_roundtrip(tmp_path):
     # stateless save has no method file
     ck.save_task(1, "bengali", state, {}, method_state=None)
     assert ck.load_method_state(1, "bengali") is None
+
+
+class TestUniformHeadCLPaths:
+    """uniform_head fast paths in the MAS surrogate and LwF joint KD must
+    match the per-sample-head path exactly on a single-language batch
+    (rows replicated from one head bank row — the CL drivers' shape)."""
+
+    def _case(self, rng, B=3, T=7, U1=4, H=6, V1=5):
+        f = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, U1, H)), jnp.float32)
+        w_row = rng.standard_normal((H, V1)).astype(np.float32)
+        b_row = rng.standard_normal((V1,)).astype(np.float32)
+        w = jnp.asarray(np.broadcast_to(w_row, (B, H, V1)).copy())
+        b = jnp.asarray(np.broadcast_to(b_row, (B, V1)).copy())
+        return f, g, w, b
+
+    def test_mas_energy_uniform_matches(self, rng):
+        f, g, w, b = self._case(rng)
+
+        def e(ff, uniform):
+            return mas.joint_energy_chunked(
+                ff, g, w, b, chunk_size=3, uniform_head=uniform
+            )
+
+        v_ps, g_ps = jax.value_and_grad(lambda ff: e(ff, False))(f)
+        v_un, g_un = jax.value_and_grad(lambda ff: e(ff, True))(f)
+        np.testing.assert_allclose(float(v_ps), float(v_un), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_ps), np.asarray(g_un), rtol=1e-5, atol=1e-7
+        )
+
+    def test_lwf_kd_uniform_matches(self, rng):
+        f, g, w, b = self._case(rng)
+        f_t = f + 0.1
+        w_t = w * 0.9
+
+        def kd(uniform):
+            return lwf.joint_kd_chunked(
+                f, g, f_t, g, w, b, w_t, b, chunk_size=3,
+                uniform_head=uniform,
+            )
+
+        v_ps, g_ps = jax.value_and_grad(
+            lambda ws: lwf.joint_kd_chunked(
+                f, g, f_t, g, ws, b, w_t, b, chunk_size=3
+            )
+        )(w)
+        v_un, g_un = jax.value_and_grad(
+            lambda ws: lwf.joint_kd_chunked(
+                f, g, f_t, g, ws, b, w_t, b, chunk_size=3,
+                uniform_head=True,
+            )
+        )(w)
+        np.testing.assert_allclose(float(v_ps), float(v_un), rtol=1e-6)
+        # per-sample grads live on every row; the uniform path's grad
+        # lands on row 0 only — total head-bank gradient (sum over the
+        # gathered rows, what the outer take scatters) must agree
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(g_ps, axis=0)),
+            np.asarray(jnp.sum(g_un, axis=0)),
+            rtol=1e-5, atol=1e-7,
+        )
