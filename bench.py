@@ -132,7 +132,11 @@ def _setup(rnnt_chunk: int):
         uniform_lang_head=os.environ.get("BENCH_UNIFORM_HEAD", "1") == "1",
     )
 
-    B, SECS, U = 16, 8, 48
+    # BENCH_BATCH: batch-scaling studies only (docs/PERF.md). The
+    # headline metric stays B=16 — the reference's working point
+    # (config.yaml batch_size) and the series anchor across rounds.
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    SECS, U = 8, 48
     S = 16000 * SECS
     rng = np.random.default_rng(0)
     batch = {
