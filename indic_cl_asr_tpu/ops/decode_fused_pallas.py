@@ -1,0 +1,261 @@
+"""Single-launch Pallas TPU kernel for batched greedy RNNT decoding.
+
+The XLA greedy decoders (ops/decoding.py) are sequential-latency-bound:
+every decode round re-dispatches ~a dozen small fused kernels (joint dot,
+argmax, LSTM-cell fusion, state selects) from the while-loop body, ~36 us
+per round at flagship shapes (docs/PERF.md).  This kernel runs the ENTIRE
+decode — frame scan, inner emission loop, prediction-net LSTM step, joint,
+argmax and output scatter — inside ONE kernel launch with every decode
+weight VMEM-resident:
+
+  * embedding rows ride an MXU one-hot matmul (no gather op exists on the
+    VPU datapath; [B,V] x [V,H] is cheaper than V dynamic slices);
+  * the LSTM input/recurrent projections, the pred-side joint projection
+    and the per-language joint head stay in VMEM across all rounds
+    (~8 MB bf16 at flagship size), so a round is pure MXU/VPU latency;
+  * the all-blank round (the common case on real speech) skips the
+    prediction-net step entirely via lax.cond — its output would be
+    discarded (the XLA path cannot skip it: rnnt_greedy_decode runs
+    pred_step unconditionally every round).
+
+Semantics are EXACTLY ops/decoding.py rnnt_greedy_decode (frame-sync
+greedy, max_symbols per frame, max_out cap, blank-is-pad outputs), which
+itself matches the reference's GreedyBatchedRNNTInfer
+(NeMo rnnt_greedy_decoding.py:518-1010
+`_greedy_decode_blank_as_pad_loop_frames`).  Parity is tested per-element
+against the XLA decoder (tests/test_decode_fused.py).
+
+Single-language batches only: the joint head and bias are gathered for
+ONE language before the call (every CL task batch and every per-language
+eval batch is single-language by construction — the same contract as
+StepConfig.uniform_lang_head).  Mixed-language batches keep the XLA path.
+
+The prediction-net math mirrors models/hybrid.py pred_step exactly:
+decode labels are LOCAL ids, blank (== vocab_per_lang) feeds a ZERO
+embedding (the aggregate table's pinned pad row), non-blank ids index the
+embedding table rows [0, vocab_per_lang) directly.  LSTM gate order is
+torch's (i, f, g, o) with an f32 cell state and compute-dtype gate math
+(models/rnnt.py LSTM.step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Above this many encoder frames the [B, T, H] f_proj block no longer
+# fits VMEM next to the resident weights; callers fall back to XLA.
+MAX_T = 512
+MAX_B = 64
+
+
+def _kernel(f_ref, lens_ref, table_ref, wih_ref, whh_ref, b_ref,
+            wp_ref, bp_ref, head_ref, hb_ref,
+            out_ref, olen_ref, *, blank, max_symbols, max_out):
+    # f_ref is [T, B, H]: the per-frame dynamic slice must index the
+    # MAJOR dim (a plain offset) — Mosaic cannot legalize a dynamic
+    # sublane-dim vector.load on packed bf16
+    T, B, H = f_ref.shape
+    V = table_ref.shape[0]          # local vocab (no blank row)
+    V1 = head_ref.shape[1]          # V + 1 logits (blank last)
+    H4 = wih_ref.shape[1]
+    cdt = table_ref.dtype           # compute dtype (model cfg dtype)
+
+    lens = lens_ref[:]                                   # [B, 1] i32
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    iota_v1 = jax.lax.broadcasted_iota(jnp.int32, (B, V1), 1)
+    iota_o = jax.lax.broadcasted_iota(jnp.int32, (B, max_out), 1)
+
+    w_ih = wih_ref[:]
+    w_hh = whh_ref[:]
+    b_g = b_ref[:]
+    w_p = wp_ref[:]
+    b_p = bp_ref[:]
+    head = head_ref[:]
+    head_b = hb_ref[:]
+
+    def dot(a, b):
+        # MXU dot, f32 accumulation, result back in the compute dtype —
+        # identical rounding to XLA's bf16 dot (models/rnnt.py LSTM).
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+
+    def pred_step(label, h, c):
+        """One prediction-net LSTM step + pred-side joint projection.
+
+        label [B, 1] local ids (blank -> zero embedding); h [B, H] cdt,
+        c [B, H] f32.  Mirrors hybrid.pred_step -> joint.project_pred.
+        """
+        oh = (iota_v == label).astype(cdt)               # blank: no match
+        emb = dot(oh, table_ref[:])                      # [B, H]
+        gates = dot(emb, w_ih) + b_g + dot(h, w_hh)      # [B, 4H]
+
+        def sig(x):
+            # jax.nn.sigmoid's lowering broadcasts an f32 constant into a
+            # bf16 vector, which Mosaic rejects; this is the same stable
+            # logistic with weak-typed constants (sign compare in f32 —
+            # the VPU has no bf16 cmpf)
+            e = jnp.exp(-jnp.abs(x))
+            nonneg = x.astype(jnp.float32) >= 0
+            return jnp.where(nonneg, 1.0 / (1.0 + e), e / (1.0 + e))
+
+        i_g = sig(gates[:, 0 * H:1 * H])
+        f_g = sig(gates[:, 1 * H:2 * H])
+        g_g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o_g = sig(gates[:, 3 * H:4 * H])
+        c_new = f_g * c.astype(cdt) + i_g * g_g          # compute-dtype math
+        h_new = o_g * jnp.tanh(c_new)
+        g_proj = dot(h_new, w_p) + b_p                   # [B, H]
+        return g_proj, h_new, c_new.astype(jnp.float32)
+
+    # SOS priming: pred_step on a blank label from a zero state
+    # (hybrid.pred_step remaps blank to the zero-pinned pad row).
+    blank_lbl = jnp.full((B, 1), blank, jnp.int32)
+    g0, h0, c0 = pred_step(
+        blank_lbl, jnp.zeros((B, H), cdt), jnp.zeros((B, H), jnp.float32)
+    )
+
+    out0 = jnp.full((B, max_out), blank, jnp.int32)
+    olen0 = jnp.zeros((B, 1), jnp.int32)
+
+    def frame(t, carry):
+        out, out_len, last, g, h, c = carry
+        f_t = f_ref[pl.ds(t, 1), :, :].reshape(B, H)
+        active = (t < lens)                              # [B, 1]
+
+        def cond(inner):
+            # cont rides the carry as i32 — Mosaic cannot legalize i1
+            # vectors in scf.yield (while-loop carries)
+            k, _, _, _, _, _, _, cont_i = inner
+            return (k < max_symbols) & (jnp.sum(cont_i) > 0)
+
+        def body(inner):
+            k, out, out_len, last, g, h, c, cont_i = inner
+            cont = cont_i > 0
+            logits = jax.lax.dot_general(
+                jnp.maximum(f_t + g, 0), head,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + head_b                                   # [B, V1] f32
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            pred = jnp.min(
+                jnp.where(logits == m, iota_v1, V1), axis=-1, keepdims=True
+            )                                            # first argmax
+            emit = cont & (pred != blank) & (out_len < max_out)
+            out = jnp.where(
+                (iota_o == out_len) & emit, pred, out
+            )
+            out_len = out_len + emit.astype(jnp.int32)
+            new_last = jnp.where(emit, pred, last)
+
+            def step_pred(_):
+                g2, h2, c2 = pred_step(new_last, h, c)
+                return (
+                    jnp.where(emit, g2, g),
+                    jnp.where(emit, h2, h),
+                    jnp.where(emit, c2, c),
+                )
+
+            # all-blank round: the pred step's output would be fully
+            # masked out — skip the LSTM entirely
+            any_emit = jnp.sum(emit.astype(jnp.int32)) > 0
+            g, h, c = jax.lax.cond(
+                any_emit, step_pred, lambda _: (g, h, c), None
+            )
+            return (k + 1, out, out_len, new_last, g, h, c,
+                    (cont & emit).astype(jnp.int32))
+
+        init = (jnp.int32(0), out, out_len, last, g, h, c,
+                active.astype(jnp.int32))
+        _, out, out_len, last, g, h, c, _ = jax.lax.while_loop(
+            cond, body, init
+        )
+        return out, out_len, last, g, h, c
+
+    out, out_len, _, _, _, _ = jax.lax.fori_loop(
+        0, T, frame, (out0, olen0, blank_lbl, g0, h0, c0)
+    )
+    out_ref[:] = out
+    olen_ref[:] = out_len
+
+
+def extract_decode_weights(variables, lang_id: int, *, dtype=None):
+    """Pull the decode-path weights for ONE language out of a model
+    variables pytree (param names: models/rnnt.py PredictionNetwork /
+    RNNTJoint; single LSTM layer — the flagship's pred_rnn_layers=1)."""
+    p = variables["params"]
+    pred = p["prediction"]
+    joint = p["joint"]
+    lstm = pred["lstm_0"]
+    head_k = joint["head_kernel"][lang_id]
+    head_b = joint["head_bias"][lang_id]
+    V1 = head_k.shape[-1]
+    table = pred["embedding"][: V1 - 1]   # local rows; blank row unused
+    dt = dtype if dtype is not None else table.dtype
+    return {
+        "table": table.astype(dt),
+        "w_ih": lstm["w_ih"].astype(dt),
+        "w_hh": lstm["w_hh"].astype(dt),
+        "bias": lstm["bias"].reshape(1, -1).astype(dt),
+        "wp": joint["pred"]["kernel"].astype(dt),
+        "bp": joint["pred"]["bias"].reshape(1, -1).astype(dt),
+        "head": head_k.astype(dt),
+        "head_b": head_b.reshape(1, -1).astype(jnp.float32),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blank", "max_symbols", "max_out", "interpret"),
+)
+def rnnt_greedy_decode_fused(
+    f_proj: jnp.ndarray,      # [B, T, H] encoder-side joint projections
+    frame_lens: jnp.ndarray,  # [B]
+    weights: dict,            # extract_decode_weights(...)
+    *,
+    blank: int,
+    max_symbols: int = 10,
+    max_out: int = 256,
+    interpret: bool = False,
+):
+    """Fused single-kernel greedy decode -> (ids [B, max_out], lens [B]).
+
+    Output contract identical to ops/decoding.py rnnt_greedy_decode with
+    init_state=None (offline decode; streaming continuation stays on the
+    XLA path)."""
+    B, T, H = f_proj.shape
+    if T > MAX_T or B > MAX_B:
+        raise ValueError(
+            f"fused decode supports T<={MAX_T}, B<={MAX_B}; got {B}x{T} "
+            "(fall back to the XLA decoder)"
+        )
+    cdt = weights["table"].dtype
+    kern = functools.partial(
+        _kernel, blank=blank, max_symbols=max_symbols, max_out=max_out
+    )
+    out, olen = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.swapaxes(f_proj.astype(cdt), 0, 1),  # [T, B, H]
+        frame_lens.astype(jnp.int32).reshape(B, 1),
+        weights["table"],
+        weights["w_ih"],
+        weights["w_hh"],
+        weights["bias"],
+        weights["wp"],
+        weights["bp"],
+        weights["head"],
+        weights["head_b"],
+    )
+    return out, olen.reshape(B)

@@ -55,7 +55,10 @@ class Transcriber:
     beam_size: int = 4
     # "labelsync" (default): label-looping greedy — sequential rounds
     # scale with emitted tokens, not frames (identical output, parity
-    # tested); "framesync": one joint+pred round per frame.
+    # tested); "framesync": one joint+pred round per frame; "fused":
+    # single-launch Pallas kernel (ops/decode_fused_pallas.py) for
+    # UNIFORM-LANGUAGE batches — a traced lax.cond falls back to
+    # labelsync for mixed-language batches or over-size shapes.
     greedy_impl: str = "labelsync"
     labelsync_window: int = 32
 
@@ -96,12 +99,42 @@ class Transcriber:
                     variables, f_t, g_t, li, method="joint_step"
                 )
 
-            if self.greedy_impl == "labelsync":
+            def labelsync():
                 return rnnt_greedy_decode_labelsync(
                     f_proj, enc_lens, lang_ids, pred_step, joint_step,
                     None, blank=blank, max_symbols=self.max_symbols,
                     max_out=self.max_out, window=self.labelsync_window,
                 )
+
+            if self.greedy_impl == "fused":
+                from ..ops.decode_fused_pallas import (
+                    MAX_B,
+                    MAX_T,
+                    extract_decode_weights,
+                    rnnt_greedy_decode_fused,
+                )
+
+                B, T, _ = f_proj.shape
+                multi_lstm = "lstm_1" in variables["params"]["prediction"]
+                if T > MAX_T or B > MAX_B or multi_lstm:  # trace-time
+                    return labelsync()
+                w = extract_decode_weights(
+                    variables, lang_ids[0], dtype=self.model_cfg.dtype
+                )
+
+                def fused(_):
+                    return rnnt_greedy_decode_fused(
+                        f_proj, enc_lens, w, blank=blank,
+                        max_symbols=self.max_symbols, max_out=self.max_out,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+
+                uniform = jnp.all(lang_ids == lang_ids[0])
+                return jax.lax.cond(
+                    uniform, fused, lambda _: labelsync(), None
+                )
+            if self.greedy_impl == "labelsync":
+                return labelsync()
             return rnnt_greedy_decode(
                 f_proj, enc_lens, lang_ids, pred_step, joint_step, None,
                 blank=blank, max_symbols=self.max_symbols,

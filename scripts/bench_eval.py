@@ -33,8 +33,8 @@ def main(argv=None):
     ap.add_argument("--secs", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
-        "--decoders", default="labelsync,framesync,beam",
-        help="comma list of labelsync|framesync|beam",
+        "--decoders", default="labelsync,framesync,fused,beam",
+        help="comma list of labelsync|framesync|fused|beam",
     )
     ap.add_argument("--beam_size", type=int, default=4)
     ap.add_argument(
@@ -112,6 +112,17 @@ def main(argv=None):
                 ids, out_lens, _ = rnnt_beam_search_batched(
                     f_proj, enc_lens, lang, pred_step, joint_step, None,
                     blank=cfg.blank_local, beam_size=args.beam_size,
+                )
+            elif decoder == "fused":
+                from indic_cl_asr_tpu.ops.decode_fused_pallas import (
+                    extract_decode_weights,
+                    rnnt_greedy_decode_fused,
+                )
+
+                w = extract_decode_weights(variables, 0, dtype=cfg.dtype)
+                ids, out_lens = rnnt_greedy_decode_fused(
+                    f_proj, enc_lens, w, blank=cfg.blank_local,
+                    interpret=jax.default_backend() != "tpu",
                 )
             else:
                 raise ValueError(decoder)
