@@ -53,16 +53,22 @@ class Transcriber:
     max_symbols: int = 10
     max_out: int = 256
     beam_size: int = 4
-    # "labelsync" (default): label-looping greedy — sequential rounds
-    # scale with emitted tokens, not frames (identical output, parity
-    # tested); "framesync": one joint+pred round per frame; "fused":
+    # "auto" (default): "fused" on TPU, "labelsync" elsewhere.
+    # "labelsync": label-looping greedy — sequential rounds scale with
+    # emitted tokens, not frames (identical output, parity tested);
+    # "framesync": one joint+pred round per frame; "fused":
     # single-launch Pallas kernel (ops/decode_fused_pallas.py) for
     # UNIFORM-LANGUAGE batches — a traced lax.cond falls back to
-    # labelsync for mixed-language batches or over-size shapes.
-    greedy_impl: str = "labelsync"
+    # labelsync for mixed-language batches, and labelsync is chosen at
+    # trace time for over-size shapes / multi-layer LSTMs.
+    greedy_impl: str = "auto"
     labelsync_window: int = 32
 
     def __post_init__(self):
+        if self.greedy_impl == "auto":
+            self.greedy_impl = ("fused"
+                                if jax.default_backend() == "tpu"
+                                else "labelsync")
         assert self.frontend.n_mels == self.model_cfg.encoder.feat_in, (
             "front-end mel bins must match encoder feat_in"
         )

@@ -131,3 +131,19 @@ def test_transcriber_fused_matches_labelsync(tmp_path):
         hyp_ref = make_tr("labelsync").transcribe(variables, entries, "rnnt")
         hyp_fused = make_tr("fused").transcribe(variables, entries, "rnnt")
         assert hyp_fused == hyp_ref
+
+
+def test_transcriber_auto_impl_resolves_by_backend():
+    """greedy_impl='auto' (the default) resolves to 'fused' on TPU and
+    'labelsync' elsewhere, at construction time."""
+    from indic_cl_asr_tpu.audio.features import FrontendConfig
+    from indic_cl_asr_tpu.train.eval import Transcriber
+
+    cfg = tiny_config()
+    model, _ = init_model(cfg, jax.random.PRNGKey(0))
+    tr = Transcriber(
+        model=model, model_cfg=cfg, tokenizer=None, languages=["hindi"],
+        frontend=FrontendConfig(n_mels=cfg.encoder.feat_in),
+    )
+    expected = "fused" if jax.default_backend() == "tpu" else "labelsync"
+    assert tr.greedy_impl == expected
