@@ -46,6 +46,7 @@ GPU; the derivation is recorded here so the ratio is auditable.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -392,6 +393,100 @@ def mode_components():
     print(json.dumps({"mode": "components", "components": comp}))
 
 
+def mode_components_bwd():
+    """Backward-split audit child (VERDICT r3 item 4): two more chained
+    steady-state measurements of the same program family —
+
+      * enc_fwd_bwd: frontend + SpecAugment + encoder forward AND backward
+        (grad of a scalar over the encoder output wrt params, train-mode
+        dropout/BN exactly like the step) — minus components' encode_fwd
+        this localizes the ENCODER backward;
+      * loss_fwd: the full hybrid loss forward (joint + RNNT lattice +
+        CTC, no backward) — minus encode_fwd this localizes the
+        joint/lattice/CTC forward.
+
+    The parent merges these with the components child's numbers so
+    fwd_bwd_ms telescopes into encode_fwd / encoder_bwd /
+    joint_lattice_ctc_fwd / joint_lattice_ctc_bwd named stages. Kept as a
+    SEPARATE child because a 4th big compile in one process regularly
+    blows the window on the tunneled backend."""
+    import jax
+    import jax.numpy as jnp
+
+    _warm()
+    model, cfg, tx, state, step_cfg, batch, (B, SECS, U) = _setup(
+        _default_chunk()
+    )
+    from indic_cl_asr_tpu.audio.features import log_mel_spectrogram
+    from indic_cl_asr_tpu.audio.spec_augment import spec_augment
+    from indic_cl_asr_tpu.train.step import hybrid_forward_loss
+    from indic_cl_asr_tpu.utils.rng import fast_dropout_key
+
+    variables = state.variables
+
+    def enc_loss(params, batch_stats, audio, audio_lens, rng, carry):
+        # mirrors hybrid_forward_loss's encoder-side path exactly
+        # (train-mode dither, SpecAugment, dropout keys, BN mutation)
+        k_dither, k_spec, k_drop, _ = jax.random.split(rng, 4)
+        if step_cfg.fast_dropout_rng:
+            k_drop = fast_dropout_key(k_drop)
+        mel, mel_lens = log_mel_spectrogram(
+            audio + carry, audio_lens, step_cfg.frontend,
+            training=True, rng=k_dither,
+        )
+        mel = spec_augment(mel, mel_lens, k_spec, step_cfg.spec_augment)
+        (f, _), _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mel, mel_lens, True, method="encode",
+            rngs={"dropout": k_drop}, mutable=["batch_stats"],
+        )
+        return jnp.sum(f.astype(jnp.float32)) * 1e-6
+
+    def enc_fwd_bwd(params, batch_stats, batch, rng, carry):
+        loss, grads = jax.value_and_grad(enc_loss)(
+            params, batch_stats, batch["audio"], batch["audio_len"],
+            rng, carry,
+        )
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+            grads, jnp.float32(0),
+        )
+        return (loss + gnorm) * 1e-30
+
+    def loss_fwd(params, batch_stats, batch, rng, carry):
+        loss, _ = hybrid_forward_loss(
+            model, cfg, step_cfg, params, batch_stats,
+            batch["audio"] + carry, batch["audio_len"], batch["tokens"],
+            batch["token_len"], batch["lang_ids"], rng, train=True,
+        )
+        return loss * 1e-30
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+
+    def time_chained(name, fn, n=20):
+        carry = jnp.float32(0)
+        jfn = jax.jit(fn)
+        carry = jfn(variables["params"], variables["batch_stats"],
+                    batch, keys[0], carry)  # compile
+        carry = jfn(variables["params"], variables["batch_stats"],
+                    batch, keys[1], carry)  # steady state
+        float(carry)  # host sync
+        t0 = time.time()
+        for i in range(n):
+            carry = jfn(variables["params"], variables["batch_stats"],
+                        batch, keys[(2 + i) % 64], carry)
+        float(carry)  # host read: the chain forces all n executions
+        ms = (time.time() - t0) / n * 1000
+        print(f"# {name}: {ms:.2f} ms", file=sys.stderr)
+        return round(ms, 2)
+
+    comp = {
+        "enc_fwd_bwd_ms": time_chained("enc_fwd_bwd", enc_fwd_bwd),
+        "loss_fwd_ms": time_chained("loss_fwd", loss_fwd),
+    }
+    print(json.dumps({"mode": "components_bwd", "components": comp}))
+
+
 def mode_canary():
     """Tc=64 miscompile canary (VERDICT r2 item 6): one step at Tc=32 and
     one at Tc=64 at flagship tile shapes; assert loss equality and no
@@ -431,36 +526,97 @@ def mode_canary():
     }))
 
 
-def _run_child(mode: str, timeout: int, attempts: int = 1):
+# --- unkillable-capture machinery (VERDICT r3 item 1) -------------------
+# The driver wraps `python bench.py` in a `timeout`; three rounds in a row
+# the captured record was unusable (cached relic / degraded / rc=124 with
+# no JSON line).  The contract is now: this process emits at least one
+# parseable record on EVERY exit path —
+#   * an insurance line (the best cached verified record, clearly tagged)
+#     is printed FIRST, before any chip work, so even SIGKILL leaves a
+#     valid artifact;
+#   * a SIGTERM handler (what `timeout` sends at rc=124) emits the best
+#     record known at that instant and exits 0;
+#   * all chip work runs under a hard wall-clock deadline
+#     (BENCH_DEADLINE_S), and every child timeout is derived from the
+#     REMAINING deadline instead of a fixed constant, so the parent always
+#     reaches its own final print.
+# The driver (and _run_child itself) parse the LAST JSON line, so the
+# final record supersedes the insurance line.
+
+_current_child = None   # in-flight child Popen, killed by the handler
+_final_record = None    # best full record known right now
+_finished = False
+
+
+def _set_final(record):
+    global _final_record
+    _final_record = record
+
+
+def _finish():
+    """Print the best-known record exactly once (the process's LAST JSON
+    line) and persist it to BENCH_LAST.json."""
+    global _finished
+    if _finished:
+        return
+    _finished = True
+    if _final_record is not None:
+        print(json.dumps(_final_record), flush=True)
+        _write_json(os.path.join(_REPO, "BENCH_LAST.json"), _final_record)
+
+
+def _on_sigterm(signum, frame):
+    print(f"# signal {signum}: emitting best-known record and exiting",
+          file=sys.stderr, flush=True)
+    child = _current_child
+    if child is not None:
+        try:
+            child.kill()
+        except OSError:
+            pass
+    _finish()
+    os._exit(0)
+
+
+def _run_child(mode: str, timeout: float, attempts: int = 1,
+               retry_sleep: float = 45.0):
     """Run one bench mode in a fresh process; return its parsed JSON line
     or None. One heavy program family per process (tunnel reliability)."""
     import subprocess
 
+    global _current_child
     for i in range(attempts):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "BENCH_CHILD": mode},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        _current_child = p
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "BENCH_CHILD": mode},
-                capture_output=True, text=True, timeout=timeout,
-            )
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
-            print(f"# {mode} child timed out", file=sys.stderr)
-            time.sleep(30)
+            p.kill()
+            p.communicate()
+            _current_child = None
+            print(f"# {mode} child timed out ({timeout:.0f}s)",
+                  file=sys.stderr)
             continue
-        for line in reversed(r.stdout.strip().splitlines()):
+        finally:
+            _current_child = None
+        for line in reversed(out.strip().splitlines()):
             try:
                 d = json.loads(line)
                 if d.get("mode") == mode:
-                    print(r.stderr.strip()[-600:], file=sys.stderr)
+                    print(err.strip()[-600:], file=sys.stderr)
                     return d
             except json.JSONDecodeError:
                 continue
         print(
             f"# {mode} child attempt {i + 1}/{attempts} failed "
-            f"(rc={r.returncode}): {r.stderr.strip()[-300:]}",
+            f"(rc={p.returncode}): {err.strip()[-300:]}",
             file=sys.stderr,
         )
-        time.sleep(45)
+        time.sleep(retry_sleep)
     return None
 
 
@@ -472,6 +628,27 @@ def _load_json(path):
         return None
 
 
+_BASE_UNIT = "utts/s (B=16, 8s utts, 124.6M-param hybrid)"
+
+
+def _record_from_cached(cached: dict, tag: str) -> dict:
+    """Full driver-parseable record built from a BENCH_BEST/LAST-style
+    cached measurement, clearly tagged as cached."""
+    utts = cached["value"]
+    return {
+        "metric": "train_utts_per_sec_per_chip",
+        "value": utts,
+        "unit": f"{_BASE_UNIT} [{tag}]",
+        "vs_baseline": round(utts / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2),
+        "step_ms": cached.get("step_ms"),
+        "mfu": cached.get("mfu"),
+        "verified": cached.get("verified", False),
+        "cached": True,
+        "measured_at": cached.get("when"),
+        "platform_version": cached.get("platform_version", "unknown"),
+    }
+
+
 def _write_json(path, obj):
     try:
         with open(path, "w") as f:
@@ -481,57 +658,104 @@ def _write_json(path, obj):
 
 
 def main():
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    # Hard wall-clock deadline for the WHOLE invocation (VERDICT r3 item
+    # 1): the driver wraps bench.py in its own `timeout`, so every child
+    # timeout below is derived from the remaining deadline — the parent
+    # must always reach its own final print before the driver kills it.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+    t_start = time.time()
+    deadline = t_start + deadline_s
+
+    def remaining():
+        return deadline - time.time()
+
+    # Insurance record FIRST (before any chip work): the best cached
+    # verified measurement, clearly tagged. Superseded by any later line.
+    cached = _load_json(os.path.join(_REPO, "BENCH_BEST.json")) or \
+        _load_json(os.path.join(_REPO, "BENCH_LAST.json"))
+    if cached is not None and "value" in cached:
+        tag = (
+            "CACHED-VERIFIED: pre-run insurance record, superseded by any"
+            " later line" if cached.get("verified")
+            else "CACHED: pre-run insurance record, superseded by any"
+            " later line"
+        )
+        insurance = _record_from_cached(cached, tag)
+        print(json.dumps(insurance), flush=True)
+        _set_final(_record_from_cached(
+            cached,
+            ("CACHED-VERIFIED" if cached.get("verified") else "CACHED")
+            + ": window unusable this run",
+        ))
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    signal.signal(signal.SIGINT, _on_sigterm)
+
     # Window sampling: the tunneled chip is intermittently shared/throttled
     # (observed 3-360x step-time swings on identical programs, for hours at
     # a stretch). One bench invocation therefore SAMPLES windows: if the
     # measured step is slower than the audit threshold, sleep and resample
-    # until either a clean window is caught or the wall budget is spent —
+    # until either a clean window is caught or the deadline nears —
     # a single unlucky window must not become the round's record (that is
     # exactly what happened in rounds 1-2). Degraded samples are cheap
     # (~1-2 min: staged probe + short measurement in mode_step).
-    budget_s = float(os.environ.get("BENCH_WINDOW_BUDGET_S", "2700"))
-    sleep_s = float(os.environ.get("BENCH_WINDOW_SLEEP_S", "420"))
+    sleep_s = float(os.environ.get("BENCH_WINDOW_SLEEP_S", "300"))
     min_clean = float(os.environ.get("BENCH_MIN_UTTS_FOR_AUDIT", "20"))
-    t_start = time.time()
     step = None
-    while True:
-        s = _run_child("step", timeout=2400, attempts=attempts)
+    while remaining() > 240:
+        child_budget = min(1800.0, remaining() - 120)
+        s = _run_child("step", timeout=child_budget, attempts=attempts)
         if s is not None and (
             step is None or s["utts_per_sec"] > step["utts_per_sec"]
         ):
             step = s
+            # upgrade the standing record as soon as we have ANY fresh
+            # measurement — a kill from here on reports it
+            utts = step["utts_per_sec"]
+            fresh = {
+                "metric": "train_utts_per_sec_per_chip",
+                "value": utts,
+                "unit": _BASE_UNIT + (
+                    "" if utts >= min_clean
+                    else " [degraded/contended window]"
+                ),
+                "vs_baseline": round(
+                    utts / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2
+                ),
+                "step_ms": step["step_ms"],
+                "mfu": step["mfu"],
+                "verified": False,
+                "platform_version": step.get(
+                    "platform_version", "unknown"
+                ),
+            }
+            _set_final(fresh)
         if s is not None and s["utts_per_sec"] >= min_clean:
             break
-        elapsed = time.time() - t_start
-        if elapsed + sleep_s + 180 > budget_s:
+        if remaining() < sleep_s + 300:
             break
         print(
             "# sample "
             + ("faulted" if s is None else f"{s['utts_per_sec']} utts/s"
                " (contended)")
             + f"; resampling in {sleep_s:.0f}s"
-            f" ({budget_s - elapsed:.0f}s of window budget left)",
+            f" ({remaining():.0f}s of deadline left)",
             file=sys.stderr,
         )
         time.sleep(sleep_s)
     if step is None:
         # all attempts faulted (the tunneled TPU backend has multi-hour
-        # outages) — fall back to the last successful measurement,
-        # clearly marked as cached
-        cached = _load_json(os.path.join(_REPO, "BENCH_LAST.json"))
-        if cached is not None:
-            cached["unit"] += " [CACHED: TPU backend faulted this run]"
-            print(json.dumps(cached))
-            return 0
-        print("# no measurement and no cache", file=sys.stderr)
-        return 1
+        # outages) — the standing record is the cached one, tagged
+        print("# no fresh measurement; emitting cached record",
+              file=sys.stderr)
+        _finish()
+        return 0
 
     utts = step["utts_per_sec"]
     result = {
         "metric": "train_utts_per_sec_per_chip",
         "value": utts,
-        "unit": "utts/s (B=16, 8s utts, 124.6M-param hybrid)",
+        "unit": _BASE_UNIT,
         "vs_baseline": round(utts / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2),
         "step_ms": step["step_ms"],
         "mfu": step["mfu"],
@@ -540,7 +764,7 @@ def main():
 
     _write_json(os.path.join(_REPO, "BENCH_PARTS.json"), {"step": step})
 
-    # The audit children (components + canary) cost 3 more big compiles on
+    # The audit children (components + canary) cost more big compiles on
     # the chip; don't burn them proving a window that is obviously
     # contended (the chip intermittently degrades >10x; observed 3-157
     # utts/s on identical programs). Threshold: half the baseline anchor.
@@ -549,26 +773,50 @@ def main():
 
     # Component split (audit trail): headline is "verified" only when the
     # independently-measured full step reconciles with it within 25%.
-    if os.environ.get("BENCH_COMPONENTS", "1") == "1" and audit:
-        comp = _run_child("components", timeout=3300)
+    result["verified"] = False
+    if (os.environ.get("BENCH_COMPONENTS", "1") == "1" and audit
+            and remaining() > 420):
+        comp = _run_child(
+            "components", timeout=min(1800.0, remaining() - 90)
+        )
         if comp is not None:
             result["components"] = comp["components"]
             full = comp["components"]["full_step_ms"]
             result["verified"] = bool(
                 abs(full - step["step_ms"]) <= 0.25 * step["step_ms"]
             )
-        else:
-            result["verified"] = False
-    else:
-        result["verified"] = False
-        if not audit:
-            result["audit_skipped"] = (
-                f"step {utts} utts/s < {min_audit}: contended window"
-            )
+            _set_final(dict(result))
+            # Backward split (VERDICT r3 item 4): a second child measures
+            # encoder fwd+bwd and full-loss fwd, localizing the former
+            # fwd_bwd - encode_fwd bucket into named stages.
+            if remaining() > 420:
+                bwd = _run_child(
+                    "components_bwd", timeout=min(1500.0, remaining() - 90)
+                )
+                if bwd is not None:
+                    c = result["components"]
+                    b = bwd["components"]
+                    c.update(b)
+                    d = c.setdefault("derived", {})
+                    d["encoder_bwd_ms"] = round(
+                        b["enc_fwd_bwd_ms"] - c["encode_fwd_ms"], 2
+                    )
+                    d["joint_lattice_ctc_fwd_ms"] = round(
+                        b["loss_fwd_ms"] - c["encode_fwd_ms"], 2
+                    )
+                    d["joint_lattice_ctc_bwd_ms"] = round(
+                        c["fwd_bwd_ms"] - b["enc_fwd_bwd_ms"]
+                        - d["joint_lattice_ctc_fwd_ms"], 2
+                    )
+    elif not audit:
+        result["audit_skipped"] = (
+            f"step {utts} utts/s < {min_audit}: contended window"
+        )
 
     # Tc=64 miscompile canary, keyed to the platform version string.
-    if os.environ.get("BENCH_CANARY", "1") == "1" and audit:
-        can = _run_child("canary", timeout=2400)
+    if (os.environ.get("BENCH_CANARY", "1") == "1" and audit
+            and remaining() > 300):
+        can = _run_child("canary", timeout=min(1200.0, remaining() - 60))
         result["tc64_ok"] = None if can is None else can["tc64_ok"]
 
     # Best-measurement bookkeeping: a verified measurement SUPERSEDES any
@@ -614,12 +862,8 @@ def main():
             best["value"] / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2
         )
 
-    print(json.dumps(result))
-    try:
-        with open(os.path.join(_REPO, "BENCH_LAST.json"), "w") as f:
-            json.dump(result, f)
-    except OSError:
-        pass
+    _set_final(result)
+    _finish()
     return 0
 
 
@@ -629,7 +873,17 @@ if __name__ == "__main__":
         mode_step()
     elif mode == "components":
         mode_components()
+    elif mode == "components_bwd":
+        mode_components_bwd()
     elif mode == "canary":
         mode_canary()
     else:
-        sys.exit(main())
+        try:
+            rc = main()
+        except BaseException:
+            # even an unexpected parent crash must leave a parseable
+            # record (the insurance line is already out; _finish emits
+            # the best-known one as the final line)
+            _finish()
+            raise
+        sys.exit(rc)

@@ -52,6 +52,45 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_T = 512
 MAX_B = 64
 
+# TPU v5e VMEM is 128 MiB/core; leave headroom for Mosaic spills, the
+# double-buffered input window and compiler temporaries.  The guard is a
+# *combined* budget: MAX_T and MAX_B are each individually legal, but
+# B=64 x T=512 x H=640 bf16 f_proj (40 MiB) + ~8 MiB weights blows VMEM
+# at Mosaic compile time, so callers must check the pair.
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def decode_vmem_bytes(B: int, T: int, H: int, V1: int,
+                      max_out: int = 256, itemsize: int = 2) -> int:
+    """Estimate of one fused-decode launch's VMEM residency: the [T,B,H]
+    f_proj block, the resident decode weights and the i32 output/state
+    tensors. Used by the size guard and by trace-time callers (eval.py)
+    deciding whether to fall back to the XLA decoder."""
+    f_block = T * B * H * itemsize
+    V = V1 - 1
+    weights = (
+        V * H                    # embedding table
+        + H * 4 * H + H * 4 * H  # w_ih + w_hh
+        + 4 * H                  # lstm bias
+        + H * H + H              # pred-side joint proj
+        + H * V1                 # language head
+    ) * itemsize + V1 * 4        # f32 head bias
+    outs = B * max_out * 4 * 2                    # out ids + iota_o
+    state = B * (H * 3 + 4 * H) * itemsize + B * H * 4  # g/h/gates + f32 c
+    return f_block + weights + outs + state
+
+
+def fits_fused_decode(B: int, T: int, H: int, V1: int,
+                      max_out: int = 256, itemsize: int = 2) -> bool:
+    """True iff a (B, T) launch passes both the per-dim caps and the
+    combined VMEM budget."""
+    return (
+        T <= MAX_T
+        and B <= MAX_B
+        and decode_vmem_bytes(B, T, H, V1, max_out, itemsize)
+        <= VMEM_BUDGET_BYTES
+    )
+
 
 def _kernel(f_ref, lens_ref, table_ref, wih_ref, whh_ref, b_ref,
             wp_ref, bp_ref, head_ref, hb_ref,
@@ -228,14 +267,23 @@ def rnnt_greedy_decode_fused(
 
     Output contract identical to ops/decoding.py rnnt_greedy_decode with
     init_state=None (offline decode; streaming continuation stays on the
-    XLA path)."""
+    XLA path).
+
+    The kernel hardcodes the RELU joint activation (the flagship and the
+    reference checkpoint's config) — callers with tanh/sigmoid joints
+    must keep the XLA decoder (train/eval.py gates on
+    model_cfg.joint_activation)."""
     B, T, H = f_proj.shape
-    if T > MAX_T or B > MAX_B:
-        raise ValueError(
-            f"fused decode supports T<={MAX_T}, B<={MAX_B}; got {B}x{T} "
-            "(fall back to the XLA decoder)"
-        )
+    V1 = weights["head"].shape[1]
     cdt = weights["table"].dtype
+    if not fits_fused_decode(B, T, H, V1, max_out,
+                             jnp.dtype(cdt).itemsize):
+        raise ValueError(
+            f"fused decode rejected B={B} T={T} H={H}: needs per-dim "
+            f"T<={MAX_T}, B<={MAX_B} AND combined VMEM "
+            f"{decode_vmem_bytes(B, T, H, V1, max_out, jnp.dtype(cdt).itemsize)}"
+            f" <= {VMEM_BUDGET_BYTES} bytes (fall back to the XLA decoder)"
+        )
     kern = functools.partial(
         _kernel, blank=blank, max_symbols=max_symbols, max_out=max_out
     )

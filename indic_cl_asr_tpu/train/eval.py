@@ -114,15 +114,27 @@ class Transcriber:
 
             if self.greedy_impl == "fused":
                 from ..ops.decode_fused_pallas import (
-                    MAX_B,
-                    MAX_T,
                     extract_decode_weights,
+                    fits_fused_decode,
                     rnnt_greedy_decode_fused,
                 )
 
-                B, T, _ = f_proj.shape
+                B, T, H = f_proj.shape
                 multi_lstm = "lstm_1" in variables["params"]["prediction"]
-                if T > MAX_T or B > MAX_B or multi_lstm:  # trace-time
+                # Trace-time fallbacks: the kernel hardcodes the relu
+                # joint activation and a single-layer LSTM, and the
+                # combined (B, T) VMEM footprint must fit next to the
+                # resident weights (fits_fused_decode checks both the
+                # per-dim caps and the budget).
+                v1 = self.model_cfg.vocab_per_lang + 1
+                itemsize = jnp.dtype(self.model_cfg.dtype).itemsize
+                if (
+                    multi_lstm
+                    or self.model_cfg.joint_activation != "relu"
+                    or not fits_fused_decode(
+                        B, T, H, v1, self.max_out, itemsize
+                    )
+                ):
                     return labelsync()
                 w = extract_decode_weights(
                     variables, lang_ids[0], dtype=self.model_cfg.dtype

@@ -87,31 +87,45 @@ def row_sliced_stacked(
     return optax.GradientTransformation(init, update)
 
 
-def apply_updates(params: Any, updates: Any) -> Any:
+def apply_updates(
+    params: Any, updates: Any, path_substr: str = "encoder/stack/layers"
+) -> Any:
     """`optax.apply_updates` that understands row-sliced stacked updates.
 
-    Leaves whose update is shorter than the param along axis 0 (the
-    [L - n_rows, ...] leaves produced by :func:`row_sliced_stacked`) are
-    applied with an in-place row add — only the trainable suffix rows are
-    read or written. Everything else matches optax semantics (cast to the
-    param dtype; ``None`` updates leave the param untouched)."""
+    Stacked-encoder leaves (path contains ``path_substr``, the same
+    contract as :func:`row_sliced_stacked`) whose update is shorter than
+    the param along axis 0 are applied with an in-place suffix-row add —
+    only the trainable rows are read or written. The row-add is gated on
+    the PATH, not just the shape: a shape mismatch anywhere else raises
+    instead of being silently misread as a sliced update. Everything else
+    matches optax semantics (cast to the param dtype; ``None`` updates
+    leave the param untouched)."""
 
-    def leaf(p, u):
+    def leaf(path, p, u):
         if u is None:
             return p
         p = jnp.asarray(p)
         u = jnp.asarray(u)
-        if (
-            u.ndim == p.ndim
-            and u.ndim >= 1
-            and u.shape[0] < p.shape[0]
-            and u.shape[1:] == p.shape[1:]
-        ):
-            n = p.shape[0] - u.shape[0]
-            return p.at[n:].add(u.astype(p.dtype))
+        if u.shape != p.shape:
+            if (
+                _stacked_path(path, path_substr)
+                and u.ndim == p.ndim
+                and u.ndim >= 1
+                and u.shape[0] < p.shape[0]
+                and u.shape[1:] == p.shape[1:]
+            ):
+                n = p.shape[0] - u.shape[0]
+                return p.at[n:].add(u.astype(p.dtype))
+            raise ValueError(
+                f"apply_updates: update shape {u.shape} != param shape "
+                f"{p.shape} at {jax.tree_util.keystr(path)} (row-sliced "
+                f"updates are only legal under '{path_substr}')"
+            )
         return (p + u).astype(p.dtype)
 
-    return jax.tree.map(leaf, params, updates, is_leaf=lambda x: x is None)
+    return jax.tree_util.tree_map_with_path(
+        leaf, params, updates, is_leaf=lambda x: x is None
+    )
 
 
 def zero_stacked_prefix(

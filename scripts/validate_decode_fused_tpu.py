@@ -118,14 +118,18 @@ def main(argv=None):
     }), flush=True)
 
     def time_fn(fn, *fixed):
+        # End-of-chain sync is a HOST FETCH, not block_until_ready: on the
+        # tunneled backend block_until_ready returns without forcing a
+        # Pallas-containing chain (bench_eval.py measured 0.1 ms vs
+        # 19.4 ms with a real fetch), which would overstate the speedup.
         carry = zero
         for _ in range(2):  # warm
             ids, lens, carry = fn(*fixed, carry)
-        jax.block_until_ready(carry)
+        float(carry)
         t0 = time.time()
         for _ in range(args.iters):
             ids, lens, carry = fn(*fixed, carry)
-        jax.block_until_ready(carry)
+        float(carry)
         return (time.time() - t0) / args.iters * 1000
 
     ms_x = time_fn(xla_decode, variables, f_proj, enc_lens)
