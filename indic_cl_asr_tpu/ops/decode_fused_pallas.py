@@ -47,26 +47,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Above this many encoder frames the [B, T, H] f_proj block no longer
-# fits VMEM next to the resident weights; callers fall back to XLA.
-MAX_T = 512
+# f_proj no longer needs to fit VMEM whole: the kernel runs on a
+# sequential T-grid, streaming [T_CHUNK, B, H] frame blocks from HBM
+# (Pallas double-buffers the DMA) while the decode state lives in VMEM
+# scratch across grid steps (VERDICT r3 item 6 — a 25 s utterance is
+# ~625 frames, the top of the reference's recommended range,
+# rnnt_models.py:926-927, and must stay on the fused path). MAX_T is now
+# only a sanity cap on sequential work per launch.
+T_CHUNK = 128
+MAX_T = 4096
 MAX_B = 64
 
 # TPU v5e VMEM is 128 MiB/core; leave headroom for Mosaic spills, the
 # double-buffered input window and compiler temporaries.  The guard is a
-# *combined* budget: MAX_T and MAX_B are each individually legal, but
-# B=64 x T=512 x H=640 bf16 f_proj (40 MiB) + ~8 MiB weights blows VMEM
-# at Mosaic compile time, so callers must check the pair.
+# *combined* budget over (B, chunk): the resident weights plus TWO
+# in-flight [T_CHUNK, B, H] frame blocks must fit next to the decode
+# state, or Mosaic fails at compile time instead of falling back.
 VMEM_BUDGET_BYTES = 96 * 1024 * 1024
 
 
 def decode_vmem_bytes(B: int, T: int, H: int, V1: int,
                       max_out: int = 256, itemsize: int = 2) -> int:
-    """Estimate of one fused-decode launch's VMEM residency: the [T,B,H]
-    f_proj block, the resident decode weights and the i32 output/state
-    tensors. Used by the size guard and by trace-time callers (eval.py)
-    deciding whether to fall back to the XLA decoder."""
-    f_block = T * B * H * itemsize
+    """Estimate of one fused-decode launch's VMEM residency: the
+    double-buffered [T_CHUNK, B, H] f_proj window, the resident decode
+    weights and the i32 output/state tensors. Used by the size guard and
+    by trace-time callers (eval.py) deciding whether to fall back to the
+    XLA decoder. ``T`` only matters through min(T, T_CHUNK)."""
+    f_block = 2 * min(T, T_CHUNK) * B * H * itemsize   # double-buffered DMA
     V = V1 - 1
     weights = (
         V * H                    # embedding table
@@ -94,10 +101,17 @@ def fits_fused_decode(B: int, T: int, H: int, V1: int,
 
 def _kernel(f_ref, lens_ref, table_ref, wih_ref, whh_ref, b_ref,
             wp_ref, bp_ref, head_ref, hb_ref,
-            out_ref, olen_ref, *, blank, max_symbols, max_out):
-    # f_ref is [T, B, H]: the per-frame dynamic slice must index the
-    # MAJOR dim (a plain offset) — Mosaic cannot legalize a dynamic
-    # sublane-dim vector.load on packed bf16
+            out_ref, olen_ref,
+            last_sc, g_sc, h_sc, c_sc,
+            *, blank, max_symbols, max_out):
+    # f_ref is ONE [T_chunk, B, H] grid block of the [T, B, H] f_proj
+    # (streamed from HBM; Pallas double-buffers the next block's DMA
+    # behind this block's decode rounds). The per-frame dynamic slice
+    # indexes the MAJOR dim (a plain offset) — Mosaic cannot legalize a
+    # dynamic sublane-dim vector.load on packed bf16.
+    # Decode state rides VMEM scratch across the sequential grid steps;
+    # out_ref/olen_ref have grid-invariant index maps, so they stay
+    # VMEM-resident and are flushed once at the end.
     T, B, H = f_ref.shape
     V = table_ref.shape[0]          # local vocab (no blank row)
     V1 = head_ref.shape[1]          # V + 1 logits (blank last)
@@ -153,20 +167,30 @@ def _kernel(f_ref, lens_ref, table_ref, wih_ref, whh_ref, b_ref,
         g_proj = dot(h_new, w_p) + b_p                   # [B, H]
         return g_proj, h_new, c_new.astype(jnp.float32)
 
-    # SOS priming: pred_step on a blank label from a zero state
-    # (hybrid.pred_step remaps blank to the zero-pinned pad row).
+    i = pl.program_id(0)
     blank_lbl = jnp.full((B, 1), blank, jnp.int32)
-    g0, h0, c0 = pred_step(
-        blank_lbl, jnp.zeros((B, H), cdt), jnp.zeros((B, H), jnp.float32)
-    )
 
-    out0 = jnp.full((B, max_out), blank, jnp.int32)
-    olen0 = jnp.zeros((B, 1), jnp.int32)
+    @pl.when(i == 0)
+    def _init():
+        # SOS priming: pred_step on a blank label from a zero state
+        # (hybrid.pred_step remaps blank to the zero-pinned pad row).
+        g0, h0, c0 = pred_step(
+            blank_lbl, jnp.zeros((B, H), cdt),
+            jnp.zeros((B, H), jnp.float32),
+        )
+        g_sc[:] = g0
+        h_sc[:] = h0
+        c_sc[:] = c0
+        last_sc[:] = blank_lbl
+        out_ref[:] = jnp.full((B, max_out), blank, jnp.int32)
+        olen_ref[:] = jnp.zeros((B, 1), jnp.int32)
+
+    t_base = i * T                                       # global frame base
 
     def frame(t, carry):
         out, out_len, last, g, h, c = carry
         f_t = f_ref[pl.ds(t, 1), :, :].reshape(B, H)
-        active = (t < lens)                              # [B, 1]
+        active = (t_base + t < lens)                     # [B, 1]
 
         def cond(inner):
             # cont rides the carry as i32 — Mosaic cannot legalize i1
@@ -217,11 +241,16 @@ def _kernel(f_ref, lens_ref, table_ref, wih_ref, whh_ref, b_ref,
         )
         return out, out_len, last, g, h, c
 
-    out, out_len, _, _, _, _ = jax.lax.fori_loop(
-        0, T, frame, (out0, olen0, blank_lbl, g0, h0, c0)
+    out, out_len, last, g, h, c = jax.lax.fori_loop(
+        0, T, frame,
+        (out_ref[:], olen_ref[:], last_sc[:], g_sc[:], h_sc[:], c_sc[:]),
     )
     out_ref[:] = out
     olen_ref[:] = out_len
+    last_sc[:] = last
+    g_sc[:] = g
+    h_sc[:] = h
+    c_sc[:] = c
 
 
 def extract_decode_weights(variables, lang_id: int, *, dtype=None):
@@ -287,12 +316,40 @@ def rnnt_greedy_decode_fused(
     kern = functools.partial(
         _kernel, blank=blank, max_symbols=max_symbols, max_out=max_out
     )
+    tc = min(T, T_CHUNK)
+    n_chunks = -(-T // tc)
+    inv = lambda i: (0, 0)  # noqa: E731 — grid-invariant block
     out, olen = pl.pallas_call(
         kern,
+        grid=(n_chunks,),
+        in_specs=(
+            # the only streamed operand: one [tc, B, H] frame block per
+            # sequential grid step, double-buffered from HBM
+            pl.BlockSpec((tc, B, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, 1), inv),
+            pl.BlockSpec(weights["table"].shape, inv),
+            pl.BlockSpec(weights["w_ih"].shape, inv),
+            pl.BlockSpec(weights["w_hh"].shape, inv),
+            pl.BlockSpec(weights["bias"].shape, inv),
+            pl.BlockSpec(weights["wp"].shape, inv),
+            pl.BlockSpec(weights["bp"].shape, inv),
+            pl.BlockSpec(weights["head"].shape, inv),
+            pl.BlockSpec(weights["head_b"].shape, inv),
+        ),
+        out_specs=(
+            pl.BlockSpec((B, max_out), inv),
+            pl.BlockSpec((B, 1), inv),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((B, max_out), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.int32),    # last emitted label
+            pltpu.VMEM((B, H), cdt),          # g: pred-side joint proj
+            pltpu.VMEM((B, H), cdt),          # h: LSTM hidden
+            pltpu.VMEM((B, H), jnp.float32),  # c: LSTM cell (f32)
+        ],
         interpret=interpret,
     )(
         jnp.swapaxes(f_proj.astype(cdt), 0, 1),  # [T, B, H]

@@ -84,6 +84,19 @@ MEDIUM_TESTS = (
     "test_train_step.py::test_frozen_params_do_not_move",
     "test_train_step.py::test_train_step_runs_and_loss_decreases",
     "test_vendored_nemo_parity.py::",
+    # round-4 retune (VERDICT r3 item 8): fast tier measured 320 s vs the
+    # <= 180 s target; items below measured >= ~5 s on this harness
+    "test_train_step.py::test_uniform_lang_head_step_matches_per_sample",
+    "test_fast_rng.py::test_forward_loss_deterministic_given_seed",
+    "test_fast_rng.py::test_train_step_learns_with_fast_rng",
+    "test_fast_rng.py::test_flag_off_matches_legacy_threefry",
+    "test_scan_stack.py::test_partial_save_restores_across_layouts",
+    "test_rnnt_fused.py::test_uniform_head_equals_per_sample_values_and_bank_grads",
+    "test_rnnt_fused.py::test_fused_nonlast_blank_fallback",
+    "test_rnnt_fused.py::test_uniform_head_dropout_value_and_grads",
+    "test_beam_search.py::TestRNNTBeam::test_greedyish_beam1_close_to_greedy",
+    "test_flash_mhsa.py::test_dropout_deterministic_and_consistent_bwd",
+    "test_decode_fused.py::test_fused_long_T_multi_chunk_parity",
 )
 
 

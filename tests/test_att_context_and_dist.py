@@ -1,6 +1,9 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from indic_cl_asr_tpu.models.conformer import ConformerConfig, ConformerEncoder
 from indic_cl_asr_tpu.parallel.distributed import (
@@ -53,3 +56,61 @@ def test_distributed_single_host_noops():
     out = broadcast_from_main(tree)
     np.testing.assert_array_equal(np.asarray(out["a"]), 1.0)
     assert all_hosts_agree(42)
+
+
+@pytest.mark.slow
+def test_distributed_two_process_contract(tmp_path):
+    """VERDICT r3 item 3: execute the >1-process branches of
+    parallel/distributed.py and data/pipeline.shard_for_host for real —
+    2 CPU processes, a shared coordinator, one DP train step from
+    process-local batch rows — and assert the loss/updated-params
+    checksum match a single-process run of the identical global batch
+    (reference: cl_baseline.py:33-48 NCCL PG init, sbatch.sh:50-59)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def launch(args):
+        return subprocess.Popen(
+            [sys.executable, worker, *map(str, args)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+
+    procs = [launch([port, pid, 2]) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    single = launch(["single"])
+    out, err = single.communicate(timeout=600)
+    assert single.returncode == 0, f"single-process run failed:\n{err[-2000:]}"
+    ref = json.loads(out.strip().splitlines()[-1])
+
+    by_pid = {o["pid"]: o for o in outs}
+    assert set(by_pid) == {0, 1}
+    for o in outs:
+        assert o["count"] == 2
+        # shard_for_host: strided disjoint cover
+        assert o["shard"] == list(range(8))[o["pid"]::2]
+        # broadcast_from_main delivers host 0's value everywhere
+        assert o["bcast_v"] == 0
+        # all_hosts_agree: True on the (identical) loss, False on the
+        # (distinct) process index
+        assert o["agree_loss"] is True
+        assert o["agree_idx"] is False
+        # DP math contract: the 2-process step computes the same loss
+        # and lands on the same updated params as single-process
+        assert abs(o["loss"] - ref["loss"]) <= 1e-4 * max(1.0, abs(ref["loss"]))
+        assert abs(o["checksum"] - ref["checksum"]) <= 1e-3 * max(
+            1.0, abs(ref["checksum"])
+        )
+    assert by_pid[0]["loss"] == by_pid[1]["loss"]

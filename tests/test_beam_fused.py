@@ -1,0 +1,120 @@
+"""Parity tests: fused single-kernel batched beam search (interpret mode)
+vs the XLA rnnt_beam_search_batched reference (ops/beam_search.py), which
+itself has greedy/host-Graves parity tests (test_beam_search.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indic_cl_asr_tpu.models.hybrid import init_model, tiny_config
+from indic_cl_asr_tpu.ops.beam_fused_pallas import rnnt_beam_search_fused
+from indic_cl_asr_tpu.ops.beam_search import rnnt_beam_search_batched
+from indic_cl_asr_tpu.ops.decode_fused_pallas import extract_decode_weights
+
+
+def _setup(seed=0, lang=0, B=3, T=10, scale=1.0):
+    cfg = tiny_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(seed))
+    H = cfg.joint_hidden
+    rng = np.random.default_rng(seed)
+    f_proj = jnp.asarray(scale * rng.standard_normal((B, T, H)), jnp.float32)
+    lens = jnp.asarray(rng.integers(1, T + 1, (B,)), jnp.int32)
+    lang_ids = jnp.full((B,), lang, jnp.int32)
+
+    def pred_step(labels, state):
+        return model.apply(variables, labels, state, method="pred_step")
+
+    def joint_step(f_t, g_t, li):
+        return model.apply(variables, f_t, g_t, li, method="joint_step")
+
+    return cfg, model, variables, f_proj, lens, lang_ids, pred_step, joint_step
+
+
+def _run_both(seed, lang, scale, beam_size, max_expansions, B=3, T=10,
+              max_out=16):
+    (cfg, model, variables, f_proj, lens, lang_ids,
+     pred_step, joint_step) = _setup(seed=seed, lang=lang, B=B, T=T,
+                                     scale=scale)
+    ids_x, lens_x, sc_x = rnnt_beam_search_batched(
+        f_proj, lens, lang_ids, pred_step, joint_step, None,
+        blank=cfg.blank_local, beam_size=beam_size,
+        max_expansions=max_expansions, max_out=max_out,
+    )
+    w = extract_decode_weights(variables, lang)
+    ids_f, lens_f, sc_f = rnnt_beam_search_fused(
+        f_proj, lens, w, blank=cfg.blank_local, beam_size=beam_size,
+        max_expansions=max_expansions, max_out=max_out, interpret=True,
+    )
+    return (np.asarray(ids_x), np.asarray(lens_x), np.asarray(sc_x),
+            np.asarray(ids_f), np.asarray(lens_f), np.asarray(sc_f))
+
+
+@pytest.mark.medium
+@pytest.mark.parametrize("seed,lang,scale", [(0, 0, 1.0), (1, 2, 3.0),
+                                             (2, 1, 0.5)])
+def test_fused_beam_matches_xla_beam(seed, lang, scale):
+    ids_x, lens_x, sc_x, ids_f, lens_f, sc_f = _run_both(
+        seed, lang, scale, beam_size=4, max_expansions=4
+    )
+    np.testing.assert_array_equal(lens_f, lens_x)
+    np.testing.assert_array_equal(ids_f, ids_x)
+    np.testing.assert_allclose(sc_f, sc_x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.medium
+def test_fused_beam_size_1_matches():
+    """beam_size=1 reduces the beam to greedy-style decisions; both paths
+    must agree exactly."""
+    ids_x, lens_x, sc_x, ids_f, lens_f, sc_f = _run_both(
+        3, 0, 2.0, beam_size=1, max_expansions=3
+    )
+    np.testing.assert_array_equal(lens_f, lens_x)
+    np.testing.assert_array_equal(ids_f, ids_x)
+    np.testing.assert_allclose(sc_f, sc_x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.medium
+def test_fused_beam_zero_len_rows():
+    (cfg, model, variables, f_proj, lens, lang_ids,
+     pred_step, joint_step) = _setup(seed=4)
+    lens = lens.at[0].set(0)
+    ids_x, lens_x, sc_x = rnnt_beam_search_batched(
+        f_proj, lens, lang_ids, pred_step, joint_step, None,
+        blank=cfg.blank_local, beam_size=3, max_expansions=3, max_out=16,
+    )
+    w = extract_decode_weights(variables, 0)
+    ids_f, lens_f, sc_f = rnnt_beam_search_fused(
+        f_proj, lens, w, blank=cfg.blank_local, beam_size=3,
+        max_expansions=3, max_out=16, interpret=True,
+    )
+    assert int(lens_f[0]) == 0
+    np.testing.assert_array_equal(np.asarray(lens_f), np.asarray(lens_x))
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_x))
+
+
+def test_fused_beam_rejects_oversize():
+    (cfg, model, variables, f_proj, lens, lang_ids, _, _) = _setup()
+    w = extract_decode_weights(variables, 0)
+    big = jnp.zeros((80, 8, cfg.joint_hidden), jnp.float32)
+    with pytest.raises(ValueError):
+        rnnt_beam_search_fused(
+            big, jnp.ones((80,), jnp.int32), w,
+            blank=cfg.blank_local, beam_size=4, interpret=True,
+        )
+
+
+@pytest.mark.medium
+def test_fused_beam_multi_chunk_parity():
+    """T spanning several T_CHUNK grid blocks: beam state must survive
+    across grid steps."""
+    from indic_cl_asr_tpu.ops.decode_fused_pallas import T_CHUNK
+
+    ids_x, lens_x, sc_x, ids_f, lens_f, sc_f = _run_both(
+        5, 0, 1.5, beam_size=2, max_expansions=2, B=2,
+        T=T_CHUNK + 19, max_out=64,
+    )
+    np.testing.assert_array_equal(lens_f, lens_x)
+    np.testing.assert_array_equal(ids_f, ids_x)
+    np.testing.assert_allclose(sc_f, sc_x, rtol=1e-4, atol=1e-4)

@@ -2,6 +2,8 @@
 naming/layouts, convert, and check numerical parity of our Flax modules
 (the de-risking step for real .nemo restores, SURVEY.md §7 hard-part 4)."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -305,3 +307,65 @@ def test_full_encoder_stack_parity_with_torch_oracle(rng):
     )
     assert np.asarray(enc_lens).tolist() == [8, 8]
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_eval_pretrained_real_checkpoint_end_to_end(tmp_path):
+    """Keep the real-checkpoint path warm (VERDICT r3 item 9): when
+    INDIC_ASR_NEMO_PATH points at a real `.nemo` artifact, run the full
+    scripts/eval_pretrained.py chain — restore (convert + SPM tokenizer
+    load) -> transcribe -> WER records — so the day artifacts become
+    reachable, the 0.5-abs WER gate (BASELINE.md) is one command with
+    zero bit-rot. Skips otherwise (HF + IndicSUPERB unreachable offline).
+    Reference: cl_baseline.py:122 from_pretrained ->
+    utils.py:120-174 compute_wer/run_eval.
+
+    Audio: INDIC_ASR_MANIFEST_DIR (real IndicSUPERB manifests) when set,
+    else synthetic wavs — the chain still exercises restore + tokenize +
+    decode end to end, just with meaningless WER values.
+    """
+    import math
+    import sys as _sys
+
+    nemo = os.environ.get("INDIC_ASR_NEMO_PATH")
+    if not nemo or not os.path.exists(nemo):
+        pytest.skip("INDIC_ASR_NEMO_PATH not set: no real .nemo offline")
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    import eval_pretrained
+
+    mdir = os.environ.get("INDIC_ASR_MANIFEST_DIR")
+    lang = os.environ.get("INDIC_ASR_NEMO_LANG", "hindi")
+    if not mdir:
+        from indic_cl_asr_tpu.data.manifest import write_manifest
+        from .synth import make_wav_dataset
+
+        entries = make_wav_dataset(
+            str(tmp_path / "wav"), [lang], n_per_lang=4,
+            min_dur=1.0, max_dur=2.0,
+        )[lang]
+        mdir = str(tmp_path / "manifests")
+        os.makedirs(mdir)
+        for split in ("train", "val", "noisy_val", "test", "noisy_test"):
+            write_manifest(
+                os.path.join(mdir, f"{lang}_{split}.jsonl"), entries
+            )
+
+    results = eval_pretrained.main([
+        "--nemo", nemo,
+        "--dataset.manifest_dir", mdir,
+        "--languages", lang,
+        "--split", "test",
+        "--batch_size", "2",
+        "--spm_out_dir", str(tmp_path / "spm"),
+    ])
+    assert {r["decoder"] for r in results} == {"rnnt", "ctc"}
+    for r in results:
+        assert math.isfinite(r["wer"]) and 0.0 <= r["wer"]
+    # with real manifests, enforce the 0.5-abs gate against the published
+    # reference WER (export INDIC_ASR_EXPECTED_WER=<ref value>)
+    expected = os.environ.get("INDIC_ASR_EXPECTED_WER")
+    if expected and os.environ.get("INDIC_ASR_MANIFEST_DIR"):
+        rnnt = [r for r in results if r["decoder"] == "rnnt"][0]
+        assert abs(rnnt["wer"] - float(expected)) <= 0.5
