@@ -62,6 +62,9 @@ class Transcriber:
     # labelsync for mixed-language batches, and labelsync is chosen at
     # trace time for over-size shapes / multi-layer LSTMs.
     greedy_impl: str = "auto"
+    # "auto": fused single-kernel beam (ops/beam_fused_pallas.py) on TPU,
+    # XLA batched beam elsewhere; "xla" forces the XLA beam.
+    beam_impl: str = "auto"
     labelsync_window: int = 32
 
     def __post_init__(self):
@@ -69,6 +72,10 @@ class Transcriber:
             self.greedy_impl = ("fused"
                                 if jax.default_backend() == "tpu"
                                 else "labelsync")
+        if self.beam_impl == "auto":
+            self.beam_impl = ("fused"
+                              if jax.default_backend() == "tpu"
+                              else "xla")
         assert self.frontend.n_mels == self.model_cfg.encoder.feat_in, (
             "front-end mel bins must match encoder feat_in"
         )
@@ -175,12 +182,54 @@ class Transcriber:
                     variables, f_t, g_t, li, method="joint_step"
                 )
 
-            ids, lens, _ = rnnt_beam_search_batched(
-                f_proj, enc_lens, lang_ids, pred_step, joint_step, None,
-                blank=blank, beam_size=self.beam_size,
-                max_expansions=self.max_symbols, max_out=self.max_out,
-            )
-            return ids, lens
+            def xla_beam():
+                ids, lens, _ = rnnt_beam_search_batched(
+                    f_proj, enc_lens, lang_ids, pred_step, joint_step,
+                    None, blank=blank, beam_size=self.beam_size,
+                    max_expansions=self.max_symbols, max_out=self.max_out,
+                )
+                return ids, lens
+
+            # fused single-kernel beam (ops/beam_fused_pallas.py) under
+            # the same trace-time gates as the fused greedy path:
+            # relu joint, single-layer LSTM, in-size shapes; a traced
+            # lax.cond falls back for mixed-language batches
+            if self.beam_impl == "fused":
+                from ..ops.beam_fused_pallas import (
+                    MAX_BK,
+                    MAX_T as BEAM_MAX_T,
+                    rnnt_beam_search_fused,
+                )
+                from ..ops.decode_fused_pallas import extract_decode_weights
+
+                B, T, _ = f_proj.shape
+                multi_lstm = "lstm_1" in variables["params"]["prediction"]
+                if (
+                    multi_lstm
+                    or self.model_cfg.joint_activation != "relu"
+                    or T > BEAM_MAX_T
+                    or B * self.beam_size > MAX_BK
+                ):
+                    return xla_beam()
+                w = extract_decode_weights(
+                    variables, lang_ids[0], dtype=self.model_cfg.dtype
+                )
+
+                def fused(_):
+                    ids, lens, _ = rnnt_beam_search_fused(
+                        f_proj, enc_lens, w, blank=blank,
+                        beam_size=self.beam_size,
+                        max_expansions=self.max_symbols,
+                        max_out=self.max_out,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                    return ids, lens
+
+                uniform = jnp.all(lang_ids == lang_ids[0])
+                return jax.lax.cond(
+                    uniform, fused, lambda _: xla_beam(), None
+                )
+            return xla_beam()
 
         def ctc_logprob_fn(variables, audio, audio_lens, lang_ids):
             f, enc_lens = encode(variables, audio, audio_lens)

@@ -118,3 +118,40 @@ def test_fused_beam_multi_chunk_parity():
     np.testing.assert_array_equal(lens_f, lens_x)
     np.testing.assert_array_equal(ids_f, ids_x)
     np.testing.assert_allclose(sc_f, sc_x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.medium
+def test_transcriber_fused_beam_matches_xla_beam(tmp_path):
+    """Transcriber(beam_impl='fused') returns the same hypotheses as the
+    XLA batched beam (uniform-language batches take the kernel branch of
+    the traced lax.cond)."""
+    from indic_cl_asr_tpu.audio.features import FrontendConfig
+    from indic_cl_asr_tpu.data.pipeline import BucketSpec
+    from indic_cl_asr_tpu.train.eval import Transcriber
+
+    from .synth import make_tokenizer, make_wav_dataset
+
+    langs = ["hindi", "tamil"]
+    data = make_wav_dataset(str(tmp_path), langs, n_per_lang=3)
+    tok = make_tokenizer(langs)
+    per = max(t.vocab_size for t in tok.tokenizers_dict.values())
+    cfg = tiny_config(vocab_size_total=per * len(langs), n_langs=len(langs))
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+
+    def make_tr(impl):
+        return Transcriber(
+            model=model, model_cfg=cfg, tokenizer=tok, languages=langs,
+            frontend=FrontendConfig(n_mels=cfg.encoder.feat_in),
+            batch_size=3,
+            bucket_spec=BucketSpec(
+                boundaries_sec=(1.0, 2.0), max_tokens=(48, 64)
+            ),
+            max_symbols=3, max_out=48, beam_size=3, beam_impl=impl,
+        )
+
+    for entries in (data["hindi"], data["tamil"]):
+        hyp_ref = make_tr("xla").transcribe(variables, entries, "rnnt_beam")
+        hyp_fused = make_tr("fused").transcribe(
+            variables, entries, "rnnt_beam"
+        )
+        assert hyp_fused == hyp_ref
