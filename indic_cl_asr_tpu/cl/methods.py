@@ -69,6 +69,18 @@ class EWCMethod(CLMethod):
             return None
         return E.make_penalty_fn(self.cfg, self.state)
 
+    def penalty_tree(self, task_idx: int):
+        if (task_idx == 0 or self.state.main_fish is None
+                or self.state.checkpoint is None):
+            return None
+        return {"fish": self.state.main_fish, "ckpt": self.state.checkpoint}
+
+    def penalty_from_tree(self, tree, params):
+        grads, _ = E.penalty_grads(
+            self.cfg, tree["fish"], params, tree["ckpt"]
+        )
+        return jnp.zeros(()), grads
+
     def wants_importance_epoch(self) -> bool:
         return True
 
@@ -171,6 +183,16 @@ class MASMethod(CLMethod):
             return None
         return M.make_penalty_fn(self.cfg, self.state)
 
+    def penalty_tree(self, task_idx: int):
+        if (task_idx == 0 or self.state.importance is None
+                or self.state.checkpoint is None):
+            return None
+        return {"omega": self.state.importance,
+                "ckpt": self.state.checkpoint}
+
+    def penalty_from_tree(self, tree, params):
+        return M.penalty(self.cfg, tree["omega"], params, tree["ckpt"]), None
+
     def wants_importance_epoch(self) -> bool:
         return True
 
@@ -226,11 +248,18 @@ class LwFMethod(CLMethod):
         model, model_cfg, step_cfg = self.model, self.model_cfg, self.step_cfg
         lcfg = self.cfg
         jcfg = model_cfg.joint_config()
-        teacher_p = self.state.teacher_params
-        teacher_bs = self.state.teacher_batch_stats
+        # teacher enters the jitted program as an ARGUMENT (same hazard as
+        # CLMethod.penalty_tree: a flagship-size closure pytree becomes HLO
+        # constants and blows the tunneled remote-compile request limit)
+        teacher_tree = {
+            "params": self.state.teacher_params,
+            "batch_stats": self.state.teacher_batch_stats,
+        }
         tx = self.tx
 
-        def lwf_step(state: TrainState, batch, rng):
+        def lwf_step(state: TrainState, batch, rng, teacher):
+            teacher_p = teacher["params"]
+            teacher_bs = teacher["batch_stats"]
             k_task, k_teacher = jax.random.split(rng)
 
             def loss_fn(params):
@@ -297,10 +326,15 @@ class LwFMethod(CLMethod):
                 aux,
             )
 
-        # state donated like the base step; the teacher closure holds
+        # state donated like the base step; the teacher tree holds
         # `jnp.array` COPIES of the previous task's params (lwf.end_task),
         # so donating the student state never invalidates the teacher.
-        return jax.jit(lwf_step, donate_argnums=(0,))
+        jitted = jax.jit(lwf_step, donate_argnums=(0,))
+
+        def step(state, batch, rng):
+            return jitted(state, batch, rng, teacher_tree)
+
+        return step
 
     def end_task(self, state: TrainState, acc, n_batches, total_utterances):
         self.state = L.end_task(

@@ -66,6 +66,22 @@ class CLMethod:
         """Optional penalty hook for the train step (params -> (loss, grads))."""
         return None
 
+    def penalty_tree(self, task_idx: int):
+        """Large pytrees the penalty needs (Fisher/Omega importances +
+        anchor params). When non-None, make_train_step passes this tree
+        to the jitted step as an ARGUMENT and builds the penalty from it
+        via :meth:`penalty_from_tree` — closing a penalty_fn over
+        flagship-size pytrees embeds ~250M numbers as program CONSTANTS,
+        which blows the tunneled remote-compile request limit (observed
+        HTTP 413 on the first on-device EWC task-2 step) and bloats the
+        HLO everywhere else."""
+        return None
+
+    def penalty_from_tree(self, tree, params):
+        """params + penalty_tree -> (penalty_loss, penalty_grads_or_None);
+        must not close over any large arrays."""
+        raise NotImplementedError
+
     def wants_importance_epoch(self) -> bool:
         return False
 
@@ -89,7 +105,24 @@ class CLMethod:
         flagship size. Callers must treat a stepped-over state as dead
         (the driver's `state, aux = step(state, ...)` loop does); CL
         snapshots (EWC/MAS theta*, LwF teacher) are `jnp.array` copies,
-        so they survive donation of the state they came from."""
+        so they survive donation of the state they came from.
+
+        Penalty state enters the jitted program as an ARGUMENT (see
+        :meth:`penalty_tree`), never as a closure constant."""
+        ptree = self.penalty_tree(task_idx)
+        if ptree is not None:
+            pf = self.penalty_from_tree
+
+            def step_with_tree(state, batch, rng, ptree):
+                fn = base_builder(lambda params: pf(ptree, params))
+                return fn(state, batch, rng)
+
+            jitted = jax.jit(step_with_tree, donate_argnums=(0,))
+
+            def step(state, batch, rng):
+                return jitted(state, batch, rng, ptree)
+
+            return step
         return jax.jit(
             base_builder(self.penalty_fn(task_idx)), donate_argnums=(0,)
         )

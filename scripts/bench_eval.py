@@ -2,10 +2,12 @@
 driver-facing headline).
 
 Measures batched transcription throughput of the flagship model on
-synthetic audio for the three RNNT decode strategies:
-  * labelsync  — label-looping greedy (default; rounds ~ U + T/window)
+synthetic audio for the RNNT decode strategies:
+  * labelsync  — label-looping greedy (rounds ~ U + T/window)
   * framesync  — frame-synchronous greedy (rounds ~ T)
+  * fused      — single-kernel Pallas greedy (TPU default)
   * beam       — batched jit beam search (beam_size hypotheses)
+  * beam_fused — single-kernel Pallas beam (TPU default for rnnt_beam)
 
 Usage: python scripts/bench_eval.py [--batch 16] [--secs 8] [--iters 20]
        [--decoders labelsync,framesync,beam] [--tiny]
@@ -34,9 +36,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
         "--decoders", default="labelsync,framesync,fused,beam",
-        help="comma list of labelsync|framesync|fused|beam",
+        help="comma list of labelsync|framesync|fused|beam|beam_fused",
     )
     ap.add_argument("--beam_size", type=int, default=4)
+    ap.add_argument("--max_expansions", type=int, default=6)
     ap.add_argument(
         "--tiny", action="store_true",
         help="tiny model (CPU smoke); default is the flagship",
@@ -112,6 +115,7 @@ def main(argv=None):
                 ids, out_lens, _ = rnnt_beam_search_batched(
                     f_proj, enc_lens, lang, pred_step, joint_step, None,
                     blank=cfg.blank_local, beam_size=args.beam_size,
+                    max_expansions=args.max_expansions,
                 )
             elif decoder == "fused":
                 from indic_cl_asr_tpu.ops.decode_fused_pallas import (
@@ -122,6 +126,21 @@ def main(argv=None):
                 w = extract_decode_weights(variables, 0, dtype=cfg.dtype)
                 ids, out_lens = rnnt_greedy_decode_fused(
                     f_proj, enc_lens, w, blank=cfg.blank_local,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            elif decoder == "beam_fused":
+                from indic_cl_asr_tpu.ops.beam_fused_pallas import (
+                    rnnt_beam_search_fused,
+                )
+                from indic_cl_asr_tpu.ops.decode_fused_pallas import (
+                    extract_decode_weights,
+                )
+
+                w = extract_decode_weights(variables, 0, dtype=cfg.dtype)
+                ids, out_lens, _ = rnnt_beam_search_fused(
+                    f_proj, enc_lens, w, blank=cfg.blank_local,
+                    beam_size=args.beam_size,
+                    max_expansions=args.max_expansions,
                     interpret=jax.default_backend() != "tpu",
                 )
             else:

@@ -26,12 +26,15 @@ def test_bench_eval_tiny_emits_json_per_decoder(capsys):
     mod = _load()
     mod.main([
         "--tiny", "--batch", "2", "--secs", "1", "--iters", "1",
-        "--decoders", "labelsync,fused",
+        "--beam_size", "2", "--max_expansions", "2",
+        "--decoders", "labelsync,fused,beam_fused",
     ])
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
     recs = [json.loads(ln) for ln in lines]
-    assert [r["decoder"] for r in recs] == ["labelsync", "fused"]
+    assert [r["decoder"] for r in recs] == [
+        "labelsync", "fused", "beam_fused"
+    ]
     for r in recs:
         assert r["metric"] == "eval_utts_per_sec"
         assert r["value"] > 0 and r["batch_ms"] > 0
