@@ -131,6 +131,9 @@ def _setup(rnnt_chunk: int):
     step_cfg = StepConfig(
         rnnt_chunk_size=rnnt_chunk,
         uniform_lang_head=os.environ.get("BENCH_UNIFORM_HEAD", "1") == "1",
+        # A/B knob for the chunk-remat policy (ops/rnnt_loss_fused.py):
+        # "full" | "save_logits" | "none"
+        rnnt_remat=os.environ.get("BENCH_RNNT_REMAT", "full"),
     )
 
     # BENCH_BATCH: batch-scaling studies only (docs/PERF.md). The

@@ -239,8 +239,12 @@ def _chunk_logprob_slabs(
         logits_lab, logit_blank = _joint_dot_split_shared(
             inp, w[..., :blank], w[..., blank]
         )
-        logits_lab = logits_lab + head_b[:blank]
-        logit_blank = logit_blank + head_b[blank]
+        logits_lab = checkpoint_name(
+            logits_lab + head_b[:blank], "joint_logits"
+        )
+        logit_blank = checkpoint_name(
+            logit_blank + head_b[blank], "joint_logits"
+        )
         m_lab = jax.lax.stop_gradient(jnp.max(logits_lab, axis=-1))
         m = jax.lax.stop_gradient(jnp.maximum(m_lab, logit_blank))
         lse = m + jnp.log(
@@ -268,8 +272,12 @@ def _chunk_logprob_slabs(
         logits_lab, logit_blank = _joint_dot_split(
             inp, w[..., :blank], w[..., blank]
         )
-        logits_lab = logits_lab + head_b[:, None, None, :blank]
-        logit_blank = logit_blank + head_b[:, None, None, blank]
+        logits_lab = checkpoint_name(
+            logits_lab + head_b[:, None, None, :blank], "joint_logits"
+        )
+        logit_blank = checkpoint_name(
+            logit_blank + head_b[:, None, None, blank], "joint_logits"
+        )
         # The slabs need only logsumexp + two gathered logits; a full
         # log_softmax would materialize another [B, Tc, U+1, V+1] f32
         # tensor (~100 MB/chunk at flagship, again in the remat
@@ -300,6 +308,7 @@ def _chunk_logprob_slabs(
         logits = _joint_dot_shared(inp, w) + head_b
     else:
         logits = _joint_dot(inp, w) + head_b[:, None, None, :]
+    logits = checkpoint_name(logits, "joint_logits")
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     lse = m[..., 0] + jnp.log(
         jnp.sum(jnp.exp(logits - m), axis=-1)
@@ -336,6 +345,7 @@ def rnnt_loss_fused(
     impl: str = "xla",  # "xla" | "pallas" (fused joint kernel, relu only)
     row_mask: jnp.ndarray | None = None,  # bool [B]: real (non-repeat) rows
     uniform_head: bool = False,  # all rows share head_w[0]/head_b[0]
+    remat: str = "full",  # "full" | "save_logits" | "none"
 ):
     B, T, H = f_proj.shape
     U1 = g_proj.shape[1]
@@ -376,18 +386,37 @@ def rnnt_loss_fused(
 
     f_chunks = f_proj.reshape(B, n_chunks, chunk_size, H).swapaxes(0, 1)
 
-    chunk_fn = jax.checkpoint(
-        functools.partial(
-            _chunk_logprob_slabs,
-            blank=blank,
-            activation=activation,
-            dropout_rate=dropout_rate,
-            uniform_head=uniform_head,
-        ),
-        policy=jax.checkpoint_policies.save_only_these_names(
-            "joint_dropout_mask"
-        ),
+    # Remat policy for the chunk bodies (hardware-A/B knob, docs/PERF.md):
+    #   "full"        — save only the dropout mask; backward recomputes the
+    #                   activated joint input AND the head dot per chunk
+    #                   (minimum memory: one chunk of logits live, any T);
+    #   "save_logits" — additionally store each chunk's f32 logits, so the
+    #                   backward skips re-running the largest FLOP block
+    #                   (the head dot) and only rebuilds the elementwise
+    #                   input chain (needed for d_w anyway). Extra
+    #                   residency: [B, T, U+1, V] f32 (~160 MB at the
+    #                   flagship working point — fine in 16 GB HBM);
+    #   "none"        — no jax.checkpoint: XLA keeps whatever residuals it
+    #                   wants (both `inp` and the logits stay live).
+    base_fn = functools.partial(
+        _chunk_logprob_slabs,
+        blank=blank,
+        activation=activation,
+        dropout_rate=dropout_rate,
+        uniform_head=uniform_head,
     )
+    if remat == "none":
+        chunk_fn = base_fn
+    else:
+        saved = ("joint_dropout_mask",)
+        if remat == "save_logits":
+            saved = saved + ("joint_logits",)
+        elif remat != "full":
+            raise ValueError(f"remat mode {remat!r}")
+        chunk_fn = jax.checkpoint(
+            base_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(*saved),
+        )
 
     def body(i, f_chunk):
         key = (

@@ -51,6 +51,13 @@ class StepConfig:
     rnnt_chunk_size: int = 64
     use_spec_augment: bool = True
     rnnt_impl: str = "xla"  # "xla" | "pallas" (fused joint kernel)
+    # Chunk-remat policy for the fused RNNT joint (ops/rnnt_loss_fused.py
+    # `remat`): "full" recomputes the joint per chunk in backward (minimum
+    # memory), "save_logits" stores each chunk's f32 logits so backward
+    # skips re-running the head dot, "none" disables remat entirely.
+    # Loss is exactly invariant across modes (remat changes scheduling,
+    # not math); pick by hardware A/B (docs/PERF.md).
+    rnnt_remat: str = "full"
     ctc_impl: str = "native"  # "native" (scan lattice) | "optax"
     # Draw dropout masks with the hardware RngBitGenerator (`rbg` keys)
     # instead of threefry: ~11 ms/step of pure mask-RNG at flagship shapes
@@ -162,6 +169,7 @@ def hybrid_forward_loss(
         impl=step_cfg.rnnt_impl,
         row_mask=row_mask,
         uniform_head=step_cfg.uniform_lang_head,
+        remat=step_cfg.rnnt_remat,
     )
     ctc = ctc_loss(
         ctc_lp, enc_lens, tokens, token_lens,

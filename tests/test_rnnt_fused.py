@@ -234,3 +234,37 @@ def test_uniform_head_dropout_value_and_grads(rng):
     np.testing.assert_allclose(
         np.asarray(g_ps), np.asarray(g_un), rtol=1e-4, atol=1e-6
     )
+
+
+def test_fused_remat_mode_invariance(rng):
+    """`remat` is a scheduling knob (what the backward recomputes vs
+    stores); values AND gradients must be identical across modes, with
+    and without dropout (the saved mask keeps the stream fixed)."""
+    case = setup_case(rng, T=13)
+    f_proj, g_proj, head_w, head_b, labels, t_lens, u_lens = map(
+        jnp.asarray, case
+    )
+    blank = head_w.shape[-1] - 1
+    k = jax.random.PRNGKey(7)
+
+    def vg(remat, dropout):
+        def loss(f, g, w, b):
+            return rnnt_loss_fused(
+                f, g, w, b, labels, t_lens, u_lens,
+                blank=blank, chunk_size=4, remat=remat,
+                dropout_rate=0.3 if dropout else 0.0,
+                dropout_rng=k if dropout else None,
+            )
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            f_proj, g_proj, head_w, head_b
+        )
+
+    for dropout in (False, True):
+        v0, g0 = vg("full", dropout)
+        for mode in ("save_logits", "none"):
+            v, g = vg(mode, dropout)
+            np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+            for a, b in zip(g, g0):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                )
