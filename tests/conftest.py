@@ -97,6 +97,16 @@ MEDIUM_TESTS = (
     "test_beam_search.py::TestRNNTBeam::test_greedyish_beam1_close_to_greedy",
     "test_flash_mhsa.py::test_dropout_deterministic_and_consistent_bwd",
     "test_decode_fused.py::test_fused_long_T_multi_chunk_parity",
+    # round-4b retune: fast tier crept to 235 s (new remat-invariance
+    # test + fused-beam oversize check); durations-measured >= ~5 s
+    "test_rnnt_fused.py::test_fused_remat_mode_invariance",
+    "test_beam_fused.py::test_fused_beam_rejects_oversize",
+    "test_conformer.py::test_train_mode_updates_batch_stats",
+    "test_rnnt_variants.py::test_multiblank_no_bigblanks_equals_standard_rnnt",
+    "test_decoding.py::TestRNNTLabelSync::test_matches_frame_sync",
+    "test_beam_search.py::TestRNNTBeamBatched::test_beam1_matches_greedy_exactly",
+    "test_flash_mhsa.py::test_edge_shapes",
+    "test_flash_mhsa.py::test_forward_parity",
 )
 
 
