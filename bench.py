@@ -131,9 +131,14 @@ def _setup(rnnt_chunk: int):
     step_cfg = StepConfig(
         rnnt_chunk_size=rnnt_chunk,
         uniform_lang_head=os.environ.get("BENCH_UNIFORM_HEAD", "1") == "1",
-        # A/B knob for the chunk-remat policy (ops/rnnt_loss_fused.py):
-        # "full" | "save_logits" | "none"
-        rnnt_remat=os.environ.get("BENCH_RNNT_REMAT", "full"),
+        # Chunk-remat policy (ops/rnnt_loss_fused.py). "none" is the
+        # production default at the flagship working point (matches
+        # scripts/config.yaml): hardware A/B 2026-08-20 on a clean window
+        # (encode_fwd canary 11.04/11.05 ms vs 10.95 on the 2026-08-19
+        # verified record) measured full_step none=29.02 / save_logits=
+        # 29.44 vs full=29.88 — skipping the per-chunk joint recompute
+        # buys ~0.9 ms/step for ~500 MB extra residency at T=204.
+        rnnt_remat=os.environ.get("BENCH_RNNT_REMAT", "none"),
     )
 
     # BENCH_BATCH: batch-scaling studies only (docs/PERF.md). The

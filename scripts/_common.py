@@ -272,6 +272,9 @@ def build_all(cfg, ns):
         # reference cl_baseline.py) -> shared-head joint fast path;
         # train/driver.py host-checks every batch is single-language
         uniform_lang_head=cfg.get("uniform_lang_head", True),
+        # chunk-remat policy for the fused joint (ops/rnnt_loss_fused.py):
+        # "full" (memory-minimal, any T) | "save_logits" | "none"
+        rnnt_remat=cfg.get("rnnt_remat", "full"),
     )
 
     def base_step_builder(penalty_fn):
