@@ -563,14 +563,61 @@ def _set_final(record):
 
 def _finish():
     """Print the best-known record exactly once (the process's LAST JSON
-    line) and persist it to BENCH_LAST.json."""
+    line), persist it to BENCH_LAST.json, and update BENCH_BEST.json —
+    on EVERY exit path, including the SIGTERM handler (VERDICT r4 weak
+    2: the r04 524.8 record was emitted by the signal handler but BEST
+    bookkeeping lived only after the sampling loop, so the verified
+    record never superseded)."""
     global _finished
     if _finished:
         return
     _finished = True
     if _final_record is not None:
+        _final_record.setdefault(
+            "measured_at",
+            time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        )
         print(json.dumps(_final_record), flush=True)
         _write_json(os.path.join(_REPO, "BENCH_LAST.json"), _final_record)
+        if not _final_record.get("cached"):
+            _update_best(_final_record)
+
+
+def _update_best(record):
+    """Best-measurement bookkeeping: a verified measurement SUPERSEDES any
+    unverified one regardless of value (VERDICT r2: a single bogus
+    high-water mark must not be enshrined forever); among equally-verified
+    measurements the higher value wins. Fresh (non-cached) records only —
+    callers gate on record["cached"]. Stores the component telescope with
+    the best record so BENCH_BEST.json carries its own audit trail.
+    Returns the (possibly updated) best record."""
+    best_path = os.path.join(_REPO, "BENCH_BEST.json")
+    best = _load_json(best_path)
+    cur = {
+        "value": record["value"],
+        "step_ms": record.get("step_ms"),
+        "mfu": record.get("mfu"),
+        "verified": record.get("verified", False),
+        "when": record.get(
+            "measured_at",
+            time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        ),
+        "platform_version": record.get("platform_version", "unknown"),
+    }
+    if "components" in record:
+        cur["components"] = record["components"]
+    if best is not None:
+        best.setdefault("verified", False)
+    supersede = (
+        best is None
+        or (cur["verified"] and not best["verified"])
+        or (cur["verified"] == best["verified"]
+            and cur["value"] > best["value"])
+    )
+    if supersede:
+        best = cur
+        _write_json(best_path, best)
+    return best
 
 
 def _on_sigterm(signum, frame):
@@ -733,6 +780,9 @@ def main():
                 "step_ms": step["step_ms"],
                 "mfu": step["mfu"],
                 "verified": False,
+                "measured_at": time.strftime(
+                    "%Y-%m-%d %H:%M UTC", time.gmtime()
+                ),
                 "platform_version": step.get(
                     "platform_version", "unknown"
                 ),
@@ -767,6 +817,7 @@ def main():
         "vs_baseline": round(utts / REFERENCE_A100_UTTS_PER_SEC_ESTIMATE, 2),
         "step_ms": step["step_ms"],
         "mfu": step["mfu"],
+        "measured_at": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "platform_version": step.get("platform_version", "unknown"),
     }
 
@@ -816,6 +867,7 @@ def main():
                         c["fwd_bwd_ms"] - b["enc_fwd_bwd_ms"]
                         - d["joint_lattice_ctc_fwd_ms"], 2
                     )
+                    _set_final(dict(result))
     elif not audit:
         result["audit_skipped"] = (
             f"step {utts} utts/s < {min_audit}: contended window"
@@ -827,35 +879,9 @@ def main():
         can = _run_child("canary", timeout=min(1200.0, remaining() - 60))
         result["tc64_ok"] = None if can is None else can["tc64_ok"]
 
-    # Best-measurement bookkeeping: a verified measurement SUPERSEDES any
-    # unverified one regardless of value (VERDICT r2: a single bogus
-    # high-water mark must not be enshrined forever); among
-    # equally-verified measurements the higher value wins.
-    best_path = os.path.join(_REPO, "BENCH_BEST.json")
-    best = _load_json(best_path)
-    cur = {
-        "value": utts,
-        "step_ms": step["step_ms"],
-        "mfu": step["mfu"],
-        "verified": result.get("verified", False),
-        "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
-        "platform_version": result["platform_version"],
-    }
-    if best is not None:
-        best.setdefault("verified", False)
-    supersede = (
-        best is None
-        or (cur["verified"] and not best["verified"])
-        or (cur["verified"] == best["verified"]
-            and cur["value"] > best["value"])
-    )
-    if supersede:
-        best = cur
-        try:
-            with open(best_path, "w") as f:
-                json.dump(best, f)
-        except OSError:
-            pass
+    # Best-measurement bookkeeping (also re-run by _finish for the
+    # kill-path record; _update_best is idempotent).
+    best = _update_best(result)
     # the tunneled chip is intermittently shared/throttled (observed
     # minute-to-minute step-time swings 70 -> 315 ms on identical
     # programs); surface the best clean measurement when the current

@@ -19,6 +19,8 @@ This is exact (same numbers as the materialized path), not an approximation.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -356,6 +358,17 @@ def rnnt_loss_fused(
     if impl in ("pallas", "pallas_interpret") and activation == "relu":
         from .joint_fused_pallas import joint_slabs_pallas
 
+        if remat != "full":
+            # the Pallas joint has its own fixed chunking/recompute
+            # schedule; the remat knob does not apply to it (ADVICE r4)
+            warnings.warn(
+                f"rnnt_remat={remat!r} has no effect with the pallas "
+                "joint impl: the fused kernel always recomputes per "
+                "Tc=16 chunk (its own VMEM schedule). A/B the remat "
+                "knob with impl='xla'.",
+                stacklevel=2,
+            )
+
         if dropout_rng is not None and dropout_rate > 0.0:
             seed = jax.random.randint(
                 dropout_rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
@@ -405,6 +418,29 @@ def rnnt_loss_fused(
         dropout_rate=dropout_rate,
         uniform_head=uniform_head,
     )
+    if remat == "none":
+        # Guard the bounded-memory property the chunked joint exists for
+        # (ADVICE r4): with no checkpoint, XLA keeps both the activated
+        # joint input [B,T,U+1,H] (param dtype) and the f32 logits
+        # [B,T,U+1,V+1] live for the backward. Estimate that residency
+        # and fall back to "full" (chunk-bounded) when it exceeds the
+        # threshold — long-utterance / large-batch configs must not
+        # silently inherit multi-GB residuals.
+        V1 = head_b.shape[-1]
+        resid_gb = (
+            B * T_pad * U1 * (H * f_proj.dtype.itemsize + V1 * 4) / 2**30
+        )
+        limit_gb = float(os.environ.get("RNNT_REMAT_NONE_LIMIT_GB", "4"))
+        if resid_gb > limit_gb:
+            warnings.warn(
+                f"rnnt_remat='none' would keep ~{resid_gb:.1f} GB of "
+                f"joint residuals live (B={B}, T={T_pad}, U+1={U1}, "
+                f"V+1={V1}) > {limit_gb:.0f} GB limit; falling back to "
+                "'full' chunk remat. Raise RNNT_REMAT_NONE_LIMIT_GB to "
+                "override.",
+                stacklevel=2,
+            )
+            remat = "full"
     if remat == "none":
         chunk_fn = base_fn
     else:
