@@ -28,7 +28,14 @@ def setup_distributed(
     from TPU metadata, so an ARGLESS ``jax.distributed.initialize()`` is
     the whole bring-up (`auto_init`, used by scripts/launch_tpu.sh via
     INDIC_ASR_MULTIHOST=1); explicit endpoint args are only for
-    non-TPU-metadata environments."""
+    non-TPU-metadata environments.
+
+    Idempotent: a second call in an already-initialized process (e.g. a
+    resume relaunch driving scripts/_common.setup again) returns the
+    live (index, count) instead of re-initializing — JAX forbids
+    initialize() after backend use."""
+    if jax.distributed.is_initialized():
+        return jax.process_index(), jax.process_count()
     if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

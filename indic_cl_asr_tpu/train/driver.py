@@ -183,6 +183,7 @@ def run_sequence(
         model=model, model_cfg=model_cfg, tokenizer=tokenizer,
         languages=languages, frontend=step_cfg.frontend,
         batch_size=cfg.batch_size, bucket_spec=cfg.bucket_spec,
+        mesh=mesh,
     )
     val_performance: dict[str, list] = {l: [] for l in languages}
     test_performance: dict[str, list] = {l: [] for l in languages}

@@ -66,6 +66,14 @@ class Transcriber:
     # XLA batched beam elsewhere; "xla" forces the XLA beam.
     beam_impl: str = "auto"
     labelsync_window: int = 32
+    # SPMD eval: when set (run_sequence passes its mesh through), eval
+    # batches are placed REPLICATED on the mesh instead of on the local
+    # default device — under multi-process execution a jit over
+    # mesh-global variables rejects process-local inputs. Every process
+    # assembles the identical batch (deterministic pipeline), so each
+    # contributes the full array (make_array_from_process_local_data on
+    # a replicated sharding).
+    mesh: object | None = None
 
     def __post_init__(self):
         if self.greedy_impl == "auto":
@@ -196,19 +204,21 @@ class Transcriber:
             # lax.cond falls back for mixed-language batches
             if self.beam_impl == "fused":
                 from ..ops.beam_fused_pallas import (
-                    MAX_BK,
-                    MAX_T as BEAM_MAX_T,
+                    fits_fused_beam,
                     rnnt_beam_search_fused,
                 )
                 from ..ops.decode_fused_pallas import extract_decode_weights
 
-                B, T, _ = f_proj.shape
+                B, T, H = f_proj.shape
                 multi_lstm = "lstm_1" in variables["params"]["prediction"]
+                v1 = self.model_cfg.vocab_per_lang + 1
+                itemsize = jnp.dtype(self.model_cfg.dtype).itemsize
                 if (
                     multi_lstm
                     or self.model_cfg.joint_activation != "relu"
-                    or T > BEAM_MAX_T
-                    or B * self.beam_size > MAX_BK
+                    or not fits_fused_beam(
+                        B, self.beam_size, T, H, v1, self.max_out, itemsize
+                    )
                 ):
                     return xla_beam()
                 w = extract_decode_weights(
@@ -250,6 +260,19 @@ class Transcriber:
         self._rnnt_beam_fn = jax.jit(rnnt_beam_fn)
         self._ctc_logprob_fn = jax.jit(ctc_logprob_fn)
         self._enc_proj_fn = jax.jit(enc_proj_fn)
+
+    def _dev(self, x):
+        """Eval input placement: local device, or replicated on the mesh
+        (see the `mesh` field)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P())
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, x)
 
     def transcribe(
         self,
@@ -297,9 +320,9 @@ class Transcriber:
                     if decoder in ("rnnt", "ctc", "rnnt_beam"):
                         ids, lens = fn(
                             variables,
-                            jnp.asarray(batch.audio),
-                            jnp.asarray(batch.audio_len),
-                            jnp.asarray(batch.lang_ids),
+                            self._dev(batch.audio),
+                            self._dev(batch.audio_len),
+                            self._dev(batch.lang_ids),
                         )
                         ids = np.asarray(ids)
                         lens = np.asarray(lens)
@@ -310,9 +333,9 @@ class Transcriber:
                         from ..ops.beam_search import ctc_prefix_beam_search
 
                         lp, enc_lens = self._ctc_logprob_fn(
-                            variables, jnp.asarray(batch.audio),
-                            jnp.asarray(batch.audio_len),
-                            jnp.asarray(batch.lang_ids),
+                            variables, self._dev(batch.audio),
+                            self._dev(batch.audio_len),
+                            self._dev(batch.lang_ids),
                         )
                         lp = np.asarray(lp)
                         enc_lens = np.asarray(enc_lens)
@@ -328,8 +351,8 @@ class Transcriber:
                         from ..ops.beam_search import rnnt_beam_search
 
                         f_proj, enc_lens = self._enc_proj_fn(
-                            variables, jnp.asarray(batch.audio),
-                            jnp.asarray(batch.audio_len),
+                            variables, self._dev(batch.audio),
+                            self._dev(batch.audio_len),
                         )
                         f_proj = np.asarray(f_proj)
                         enc_lens = np.asarray(enc_lens)

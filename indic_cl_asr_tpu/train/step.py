@@ -229,6 +229,16 @@ def make_train_step(
         )(state.params)
 
         if extra_grads is not None:
+            # EWC's penalty enters as GRADIENTS (reference
+            # cl_baseline_ewc.py:228-231), so the aux `penalty` scalar is
+            # structurally zero for it; log the penalty-grad global norm
+            # so the logs show the anchor actually biting (VERDICT r4
+            # weak 3).
+            pg2 = sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree.leaves(extra_grads)
+            )
+            aux = dict(aux, penalty_gnorm=jnp.sqrt(pg2))
             grads = jax.tree.map(jnp.add, grads, extra_grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -35,7 +35,7 @@ def main(argv=None):
     ap.add_argument("--secs", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
-        "--decoders", default="labelsync,framesync,fused,beam",
+        "--decoders", default="labelsync,framesync,fused,beam,beam_fused",
         help="comma list of labelsync|framesync|fused|beam|beam_fused",
     )
     ap.add_argument("--beam_size", type=int, default=4)

@@ -2,6 +2,7 @@
 tokenizers, standing in for IndicSUPERB (unavailable offline)."""
 
 import os
+import zlib
 
 import numpy as np
 
@@ -23,7 +24,10 @@ WORDS = {
 def make_texts(
     lang: str, n: int, seed: int = 0, max_words: int = 5
 ) -> list[str]:
-    rng = np.random.default_rng(seed + hash(lang) % 1000)
+    # stable per-language offset: Python's hash() is salted per PROCESS,
+    # which would hand two multihost workers DIFFERENT synthetic data for
+    # the same (lang, seed) — crc32 is process-invariant
+    rng = np.random.default_rng(seed + zlib.crc32(lang.encode()) % 1000)
     words = WORDS.get(lang, WORDS["hindi"])
     return [
         " ".join(rng.choice(words, size=rng.integers(2, max_words + 1)))
