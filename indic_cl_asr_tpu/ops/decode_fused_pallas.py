@@ -350,6 +350,15 @@ def rnnt_greedy_decode_fused(
             pltpu.VMEM((B, H), cdt),          # h: LSTM hidden
             pltpu.VMEM((B, H), jnp.float32),  # c: LSTM cell (f32)
         ],
+        # Mosaic's stack estimate is shape-sensitive in surprising ways:
+        # flagship B=16/T=204 fits the 16 MiB default, but SMALLER
+        # launches can exceed it (measured 22.99 MiB at B=8, T=52 on
+        # v5e 2026-08-20 — sub-tile sublane dims inflate temporaries).
+        # Raise the per-kernel cap; fits_fused_decode still budgets the
+        # combined residency.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES,
+        ),
         interpret=interpret,
     )(
         jnp.swapaxes(f_proj.astype(cdt), 0, 1),  # [T, B, H]

@@ -295,9 +295,14 @@ def run_sequence(
         logger.log_bwt_curves(curves)  # wandb scatter/line + bwt_curves.json
 
         if cfg.save_weights:
-            save_partial(
-                f"{logger.dir}/model_{lang}.npz", state.params, trainable_mask
-            )
+            # replicated params are identical on every host; one writer
+            from ..parallel.distributed import is_main_process
+
+            if is_main_process():
+                save_partial(
+                    f"{logger.dir}/model_{lang}.npz", state.params,
+                    trainable_mask,
+                )
         if checkpointer is not None:
             checkpointer.save_task(
                 lang_idx, lang, state, val_performance,

@@ -23,14 +23,37 @@ class Logger:
         use_wandb: bool = True,
         wandb_kwargs: dict | None = None,
     ):
-        self.run_id = run_id or uuid.uuid4().hex[:8]
+        # Multihost contract (run on every process, like the driver):
+        # one SHARED run dir — process 0 draws the run id and broadcasts
+        # it so per-task checkpoints land where every process can restore
+        # them (orbax writes from the primary host only) — with the
+        # canonical log/metrics stream owned by process 0 and other ranks
+        # writing rank-suffixed streams (same dir, no interleaving).
+        import jax
+
+        self.rank = jax.process_index()
+        if run_id is None:
+            run_id = uuid.uuid4().hex[:8]
+            if jax.process_count() > 1:
+                import numpy as np
+
+                from ..parallel.distributed import broadcast_from_main
+
+                arr = broadcast_from_main(
+                    np.frombuffer(run_id.encode(), dtype=np.uint8)
+                )
+                run_id = arr.tobytes().decode()
+        self.run_id = run_id
         self.dir = os.path.join(output_dir, self.run_id)
         os.makedirs(self.dir, exist_ok=True)
-        self._txt = open(os.path.join(self.dir, "log.txt"), "a")
-        self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        sfx = "" if self.rank == 0 else f".rank{self.rank}"
+        self._txt = open(os.path.join(self.dir, f"log{sfx}.txt"), "a")
+        self._jsonl = open(
+            os.path.join(self.dir, f"metrics{sfx}.jsonl"), "a"
+        )
         self._epoch_acc: dict[str, list[float]] = {}
         self._wandb = None
-        if use_wandb:
+        if use_wandb and self.rank == 0:
             try:
                 import wandb
 
@@ -73,6 +96,8 @@ class Logger:
         uploads wandb.plot.scatter / line_series per language; the curves
         are always also written to <dir>/bwt_curves.json so the offline
         analysis pipeline (analysis/results.py) can render them."""
+        if self.rank != 0:
+            return
         plain = {
             lang: [[int(t), float(b)] for t, b in pts]
             for lang, pts in curves.items()

@@ -189,7 +189,14 @@ class SequenceCheckpointer:
 
         ``method_state`` (review r2): the CL algorithm's own state
         (EWC Fisher/theta*, MAS Omega, LwF teacher) — without it a resumed
-        EWC/MAS/LwF sequence silently degrades to naive fine-tuning."""
+        EWC/MAS/LwF sequence silently degrades to naive fine-tuning.
+
+        Multihost: EVERY process calls this with the SAME (shared) root —
+        orbax writes from the primary host and coordinates the others;
+        the manifest is written by the main process only, with a barrier
+        so every process sees a complete task snapshot afterwards."""
+        from ..parallel.distributed import barrier, is_main_process
+
         save_pytree(
             os.path.join(self.root, f"task_{task_idx}_{lang}"),
             serialization.to_state_dict(state),
@@ -199,12 +206,14 @@ class SequenceCheckpointer:
                 os.path.join(self.root, f"task_{task_idx}_{lang}_method"),
                 method_state,
             )
-        m = self.manifest()
-        if lang not in m["completed_tasks"]:
-            m["completed_tasks"].append(lang)
-        m["val_performance"] = val_performance
-        with open(self._manifest_path, "w") as f:
-            json.dump(m, f)
+        if is_main_process():
+            m = self.manifest()
+            if lang not in m["completed_tasks"]:
+                m["completed_tasks"].append(lang)
+            m["val_performance"] = val_performance
+            with open(self._manifest_path, "w") as f:
+                json.dump(m, f)
+        barrier(f"save_task_{task_idx}")
 
     def load_method_state(self, task_idx: int, lang: str) -> Any | None:
         path = os.path.join(self.root, f"task_{task_idx}_{lang}_method")

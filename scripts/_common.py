@@ -155,9 +155,24 @@ def build_synthetic_data(cfg, languages) -> dict[str, TaskData]:
     )
     from synth import make_wav_dataset
 
+    from indic_cl_asr_tpu.parallel.distributed import (
+        barrier,
+        is_main_process,
+    )
+
     root = os.path.join(cfg.output_dir, "synthetic_data")
     n = int(cfg.get("synthetic_utts", 8))
-    data = make_wav_dataset(root, languages, n_per_lang=n * 3)
+    # multihost with a shared output dir: one writer, everyone else reads
+    # the manifests after the barrier (generation is deterministic, but
+    # concurrent writers could expose partially-written wavs)
+    if is_main_process():
+        data = make_wav_dataset(root, languages, n_per_lang=n * 3)
+    barrier("synthetic-data")
+    if not is_main_process():
+        data = {
+            lang: read_manifest(os.path.join(root, f"{lang}.jsonl"))
+            for lang in languages
+        }
     out = {}
     for lang in languages:
         es = data[lang]
@@ -294,9 +309,12 @@ def build_all(cfg, ns):
     # restore ANY run later without the original flags or dataset.
     import json as _json
 
-    with open(os.path.join(logger.dir, "config.json"), "w") as f:
-        _json.dump(cfg.to_dict(), f, indent=2, default=str)
-    tokenizer.save(os.path.join(logger.dir, "tokenizer"))
+    from indic_cl_asr_tpu.parallel.distributed import is_main_process
+
+    if is_main_process():  # shared run dir in multihost: one writer
+        with open(os.path.join(logger.dir, "config.json"), "w") as f:
+            _json.dump(cfg.to_dict(), f, indent=2, default=str)
+        tokenizer.save(os.path.join(logger.dir, "tokenizer"))
 
     driver_cfg = DriverConfig(
         batch_size=cfg.batch_size,

@@ -151,8 +151,10 @@ def test_distributed_driver_two_process(tmp_path):
             env=env,
         )
 
+    # ONE shared output dir (the real multihost layout: shared FS; rank 0
+    # owns the canonical artifacts, orbax checkpoints are collective)
     procs = [
-        launch([port, pid, 2, str(tmp_path / f"p{pid}")], 1)
+        launch([port, pid, 2, str(tmp_path / "shared")], 1)
         for pid in range(2)
     ]
     res = [p.communicate(timeout=1800) for p in procs]
@@ -190,6 +192,6 @@ def test_distributed_driver_two_process(tmp_path):
     from tests.test_mesh_driver import _train_loss_series
 
     s1 = _train_loss_series(str(tmp_path / "single"))
-    s2 = _train_loss_series(str(tmp_path / "p0"))
+    s2 = _train_loss_series(str(tmp_path / "shared"))
     assert s1.size == s2.size and s1.size > 0
     np.testing.assert_allclose(s1, s2, rtol=2e-2)
