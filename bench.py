@@ -207,6 +207,14 @@ def mode_step():
     # bounded at <= 2 blocks, the host round-trip overlaps the next
     # block's device execution, and only the final read lands in the
     # window.
+    #
+    # Keys are PRE-SPLIT once (like mode_components): jax.random.PRNGKey
+    # inside the timed loop is a tiny device program per iteration, and
+    # on the tunneled backend per-dispatch latency swings made the
+    # headline child read 39-41 ms on windows where the components child
+    # simultaneously measured the same full step at 28.9 ms (3/3 bench
+    # runs 2026-08-20).
+    keys = jax.random.split(jax.random.PRNGKey(7), 128)
     n_blocks, k = 10, 10
     # probe block first: on a contended window (step >= 0.5 s) a precise
     # 100-step measurement wastes ~10 min of chip time quantifying a
@@ -215,7 +223,7 @@ def mode_step():
     # fast (< 2 s) the full 10-step probe — on a badly degraded window
     # (observed 17 s/step) even a 10-step probe is 3 min of chip time.
     tp = time.time()
-    state, aux = step(state, batch, jax.random.PRNGKey(2))
+    state, aux = step(state, batch, keys[0])
     float(aux["train_loss"])  # host sync
     first_dt = time.time() - tp
     if first_dt > 30.0:
@@ -231,7 +239,7 @@ def mode_step():
     if k > 1:
         tp = time.time()
         for i in range(1, k):
-            state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
+            state, aux = step(state, batch, keys[i])
         probe_loss = float(aux["train_loss"])
         n_timed = k - 1 if k == 10 else k
         probe_dt = (
@@ -248,7 +256,7 @@ def mode_step():
     pending = None
     for _ in range(n_blocks):
         for _ in range(k):
-            state, aux = step(state, batch, jax.random.PRNGKey(2 + i))
+            state, aux = step(state, batch, keys[i % 128])
             i += 1
         if pending is not None:
             float(pending)
