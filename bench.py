@@ -215,7 +215,13 @@ def mode_step():
     # simultaneously measured the same full step at 28.9 ms (3/3 bench
     # runs 2026-08-20).
     keys = jax.random.split(jax.random.PRNGKey(7), 128)
-    n_blocks, k = 10, 10
+    # 4 blocks x 25: same ~100 measured steps, but fewer read
+    # boundaries — each double-buffered host fetch that fails to fully
+    # overlap costs ~a tunnel round trip, and 10 boundaries left the
+    # headline ~1.7 ms/step above the components child's single-fetch
+    # chain measuring the IDENTICAL program on the same window
+    # (30.84 vs 29.14 ms, 2026-08-20 17:23 capture).
+    n_blocks, k = 4, 25
     # probe block first: on a contended window (step >= 0.5 s) a precise
     # 100-step measurement wastes ~10 min of chip time quantifying a
     # number we will not keep — 2 short blocks suffice to annotate it.
@@ -241,7 +247,7 @@ def mode_step():
         for i in range(1, k):
             state, aux = step(state, batch, keys[i])
         probe_loss = float(aux["train_loss"])
-        n_timed = k - 1 if k == 10 else k
+        n_timed = k - 1 if k > 3 else k  # full probe loop runs k-1 steps
         probe_dt = (
             (time.time() - tp) + (first_dt if k == 3 else 0.0)
         ) / n_timed
