@@ -215,13 +215,15 @@ def mode_step():
     # simultaneously measured the same full step at 28.9 ms (3/3 bench
     # runs 2026-08-20).
     keys = jax.random.split(jax.random.PRNGKey(7), 128)
-    # 4 blocks x 25: same ~100 measured steps, but fewer read
+    # 2 blocks x 50: same ~100 measured steps, minimal read
     # boundaries — each double-buffered host fetch that fails to fully
-    # overlap costs ~a tunnel round trip, and 10 boundaries left the
-    # headline ~1.7 ms/step above the components child's single-fetch
-    # chain measuring the IDENTICAL program on the same window
-    # (30.84 vs 29.14 ms, 2026-08-20 17:23 capture).
-    n_blocks, k = 4, 25
+    # overlap costs ~a tunnel round trip; at 10 boundaries the headline
+    # read ~1.7 ms/step above the components child's single-fetch chain
+    # measuring the IDENTICAL program on the same window (30.84 vs
+    # 29.14 ms, 2026-08-20 17:23), and 4 boundaries still left ~2.2
+    # (31.22 vs 28.99, 18:09). The donated-state chain keeps the queue
+    # bounded by construction either way.
+    n_blocks, k = 2, 50
     # probe block first: on a contended window (step >= 0.5 s) a precise
     # 100-step measurement wastes ~10 min of chip time quantifying a
     # number we will not keep — 2 short blocks suffice to annotate it.
