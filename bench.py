@@ -215,14 +215,16 @@ def mode_step():
     # simultaneously measured the same full step at 28.9 ms (3/3 bench
     # runs 2026-08-20).
     keys = jax.random.split(jax.random.PRNGKey(7), 128)
-    # 2 blocks x 50: same ~100 measured steps, minimal read
-    # boundaries — each double-buffered host fetch that fails to fully
-    # overlap costs ~a tunnel round trip; at 10 boundaries the headline
-    # read ~1.7 ms/step above the components child's single-fetch chain
-    # measuring the IDENTICAL program on the same window (30.84 vs
-    # 29.14 ms, 2026-08-20 17:23), and 4 boundaries still left ~2.2
-    # (31.22 vs 28.99, 18:09). The donated-state chain keeps the queue
-    # bounded by construction either way.
+    # 2 blocks x 50: ~100 measured steps, 2 read boundaries. With a
+    # genuine 100-step measurement the headline reads ~26.4 ms — BELOW
+    # the undonated components full_step (28.9) because this loop
+    # donates the state (avoids the ~1.3 GB trainable-state copy). The
+    # earlier "headline reads 1.5-2.5 ms above components" captures
+    # (30.8-31.2, 2026-08-20 afternoon) were 6-step measurements —
+    # the probe misread the windows' one-step warmup transient as
+    # "degraded" (see the tail re-classification below); short reads
+    # carry ~2-4 ms/step of fixed fetch overhead. The donated-state
+    # chain keeps the dispatch queue bounded by construction.
     n_blocks, k = 2, 50
     # probe block first: on a contended window (step >= 0.5 s) a precise
     # 100-step measurement wastes ~10 min of chip time quantifying a
