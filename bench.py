@@ -238,10 +238,13 @@ def mode_step():
     first_dt = time.time() - tp
     if first_dt > 30.0:
         # ~1000x-degraded windows exist (observed 50-150 s/step); every
-        # extra step is a minute of chip time spent quantifying garbage
-        k = 1
+        # extra step is a minute of chip time spent quantifying garbage.
+        # But one-step WARMUP transients have measured up to 29.7 s on
+        # otherwise-clean windows: up to 60 s, spend ONE tail step (k=2)
+        # to let the tail re-classification below rescue the window.
+        k = 2 if first_dt <= 60.0 else 1
         print(f"# severely degraded window (first step {first_dt:.0f} s):"
-              f" 2-step measurement", file=sys.stderr)
+              f" minimal measurement", file=sys.stderr)
     elif first_dt > 2.0:
         k = 3
         print(f"# degraded window (first step {first_dt * 1000:.0f} ms):"
@@ -256,13 +259,13 @@ def mode_step():
         probe_dt = (
             (time.time() - tp) + (first_dt if k == 3 else 0.0)
         ) / n_timed
-        if k == 3 and tail_dt < 0.1:
+        if k in (2, 3) and tail_dt < 0.1:
             # 2026-08-20 evening: every window showed a ONE-STEP warmup
-            # transient (first step 4.5-6.3 s, steady state ~30 ms) that
-            # the first_dt-based classifier read as "degraded", shrinking
-            # the measurement to 6 steps. The steady-state tail is the
-            # window truth: when it is clean, restore the full
-            # measurement and classify on the tail.
+            # transient (first step 4.5-29.7 s, steady state ~30 ms)
+            # that the first_dt-based classifier read as "degraded",
+            # shrinking the measurement to 6 steps. The steady-state
+            # tail is the window truth: when it is clean, restore the
+            # full measurement and classify on the tail.
             print(
                 f"# transient first step ({first_dt:.1f} s), clean tail"
                 f" ({tail_dt * 1000:.0f} ms/step): full measurement",
